@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline query battery at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+plus the flagship KG pipeline over a Spark-generated synthetic transcript
+corpus, and prints ONE JSON line:
+
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1, "kg": {...}}
+
+Results are materialized with the noop sink (full column computation, no
+driver collect). ``--cores N`` overrides parallelism (used by scale_bench.py
+for the N vs 4N scaling-efficiency evidence).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+DEFAULT_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
+
+
+def materialize(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def run_bench(cores: int, sf_dir: str, kg_turns: int, only: str | None = None) -> dict:
+    from otar3088_spark.session import get_spark
+
+    spark = get_spark(app_name=f"otar3088-bench-{cores}", cores=cores)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    timings: dict[str, float] = {}
+
+    if only in (None, "queries"):
+        from otar3088_spark.queries import QUERIES
+
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    kg: dict[str, float] = {}
+    if only in (None, "kg"):
+        from otar3088_spark.plans.kg_pipeline import build_kg
+        from otar3088_spark.synth import entity_dictionary_pandas, transcripts_spark
+
+        dictionary = spark.createDataFrame(entity_dictionary_pandas())
+        transcripts = transcripts_spark(spark, kg_turns)
+        t0 = time.perf_counter()
+        res = build_kg(transcripts, dictionary, salt_partitions=cores * 2)
+        n_triples = res.triples.count()
+        kg_sec = time.perf_counter() - t0
+        res.spans.unpersist()
+        kg = {
+            "kg_turns": kg_turns,
+            "kg_sec": round(kg_sec, 3),
+            "kg_turns_per_sec": round(kg_turns / kg_sec, 1),
+            "kg_triples": n_triples,
+        }
+        timings["kg_pipeline"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "kg": kg,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--kg-turns", type=int, default=DEFAULT_TURNS)
+    ap.add_argument("--only", choices=["queries", "kg"], default=None)
+    args = ap.parse_args()
+    result = run_bench(args.cores, args.sf_dir, args.kg_turns, args.only)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

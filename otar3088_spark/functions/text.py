@@ -1,0 +1,108 @@
+"""Text-normalization column expressions — the engine's F1/F2/F4 operators.
+
+Everything here is a pure Catalyst expression (chained ``regexp_replace`` /
+``split`` / ``aggregate``): whole-stage-codegen'd JVM execution, no Python,
+fully pushdown-friendly. Semantics mirror the reference's cleaners:
+
+* ``clean_text_expr``  — reference ``clean_text`` (split2sent_par.py:158-181,
+  utils/common.py:67-90): strip latex ``{...}`` groups and ``\\cmd`` commands,
+  strip citation tags ``[1, 23]``, collapse whitespace.
+* ``is_header_expr``   — section-header row detection
+  (article_normaliser.py:55-82): short known-header titles / PMC ids.
+* ``sentence_split_expr`` + ``offsets_expr`` — sentencization with character
+  offsets, done with a lookbehind split plus an ``aggregate`` cumulative-length
+  scan. The reference used a spaCy sentencizer inside a process pool
+  (split2sent_par.py:184-208); here sentence boundaries are ``[.!?]`` + space
+  on *cleaned* text, which is deterministic, SQL-expressible, and oracle-
+  checkable. No shuffle, no UDF: offsets are computed per-row inside the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Order matters: latex groups first (may contain commands), then commands,
+# then citation tags, then whitespace collapse.
+_LATEX_GROUP = r"\{[^{}]*\}"
+_LATEX_CMD = r"\\[a-zA-Z]+"
+_CITATION = r"\[[0-9]+(\s*,\s*[0-9]+)*\]"
+
+# Known header titles (article_normaliser.py:55-82 header list).
+_HEADER_TITLES = (
+    "abstract|introduction|methods|results|discussion|conclusion|background|"
+    "acknowledgements|references|conflict of interest|supplementary material"
+)
+
+
+def clean_text_expr(col: Column) -> Column:
+    """F1+F2: normalize raw turn text to single-spaced clean text."""
+    c = F.regexp_replace(col, _LATEX_GROUP, " ")
+    c = F.regexp_replace(c, _LATEX_CMD, " ")
+    c = F.regexp_replace(c, _CITATION, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def is_header_expr(col: Column) -> Column:
+    """P10: true for section-header-like turns (drop them).
+
+    Mirrors detect_section_headers (article_normaliser.py:55-82): a known
+    section title, or a short ``PMC\\d+`` id row.
+    """
+    low = F.lower(F.trim(col))
+    return low.rlike(rf"^({_HEADER_TITLES})$") | low.rlike(r"^pmc[0-9]+$")
+
+
+def sentence_split_expr(clean_col: Column) -> Column:
+    """Split cleaned text into sentences on ``[.!?]`` + single space.
+
+    Uses a zero-width lookbehind so the terminal punctuation stays attached —
+    which keeps character offsets exactly reconstructible.
+    """
+    return F.split(clean_col, r"(?<=[.!?]) ")
+
+
+def offsets_expr(parts: Column) -> Column:
+    """Character start offsets for an array of parts joined by one space.
+
+    ``aggregate`` cumulative scan: start_0 = 0, start_{i+1} = start_i +
+    len(part_i) + 1. Pure per-row JVM computation — the Spark-first
+    replacement for per-row Python offset loops (iob_converter.py:130-134).
+    Returns ``array<int>`` aligned with ``parts``.
+    """
+    return F.aggregate(
+        parts,
+        F.struct(
+            F.array().cast("array<int>").alias("starts"),
+            F.lit(0).alias("cur"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(acc["starts"], F.array(acc["cur"])).alias("starts"),
+            (acc["cur"] + F.length(x) + F.lit(1)).alias("cur"),
+        ),
+        lambda acc: acc["starts"],
+    )
+
+
+def token_core_expr(tok: Column) -> Column:
+    """Strip leading ``(["'`` and trailing ``).,;:!?"'`` punctuation from a
+    token — the 'core' used as the dictionary-match key. F4-adjacent."""
+    return F.regexp_replace(F.regexp_replace(tok, r"""^[(\["']+""", ""), r"""[)\].,;:!?"']+$""", "")
+
+
+def token_lead_expr(tok: Column) -> Column:
+    """Number of leading punctuation chars stripped by ``token_core_expr``
+    (needed to shift the char start offset onto the core)."""
+    return F.length(tok) - F.length(F.regexp_replace(tok, r"""^[(\["']+""", ""))
+
+
+def destem_expr(key: Column) -> Column:
+    """Plural/possessive normalization of a lowercase key: ``term's``/``terms``
+    -> ``term``. Mirrors the reference boundary regex ``term(?:s|'s)?``
+    (labelstudio_e2e.py:171-178). Returns NULL when no suffix applies."""
+    return (
+        F.when(key.endswith("'s"), key.substr(F.lit(1), F.length(key) - 2))
+        .when(key.endswith("s") & (F.length(key) > 3), key.substr(F.lit(1), F.length(key) - 1))
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -1,0 +1,160 @@
+"""Canonicalization — stage P5: label resolution + surface-form clustering.
+
+Two kernels:
+
+* ``resolve_labels`` — the reference's mode-label-with-priority resolution
+  (cellfinder_clean.ipynb cell 16 ``get_mode_label``): per surface term, the
+  most frequent label wins, ties broken by a fixed priority order
+  (CellLine > Anatomy > CellType ...), and every mention of that term is
+  overwritten with the winning label. Expressed as groupBy-count +
+  ``row_number`` over a (count desc, priority asc) window + broadcast join
+  back — the canonical Spark shape for argmax-per-group.
+
+* ``connected_components`` — min-label propagation over an edge DataFrame,
+  the graph step the north rule requires (the reference's seed of this is
+  canonicalization-by-grouping, cellfinder_clean.ipynb cell 16). Iterative
+  DataFrame self-joins with per-iteration ``localCheckpoint`` to cut lineage;
+  converges in O(diameter) rounds. Alias clusters have tiny diameters (≤3);
+  for adversarial giant components swap in large-star/small-star — the loop
+  structure is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from otar3088_spark.synth import LABEL_PRIORITY
+
+# Generic type-words stripped when building alias keys ("hela cell" ~ "HeLa").
+GENERIC_WORDS = ("cell", "cells", "line", "lines", "tissue", "tissues")
+
+
+def label_priority_expr(label_col) -> Column:
+    """Rank of a label in the fixed priority order; unknown labels last."""
+    m = F.create_map(
+        *[x for i, lab in enumerate(LABEL_PRIORITY) for x in (F.lit(lab), F.lit(i))]
+    )
+    return F.coalesce(m[label_col], F.lit(len(LABEL_PRIORITY)))
+
+
+def resolve_labels(spans: DataFrame) -> DataFrame:
+    """A2 kernel: per term (lowercased), pick mode label w/ priority tie-break,
+    overwrite span labels, and keep only the winning (label, ent_id) rows —
+    this doubles as homonym disambiguation (P4): mentions of a term that is
+    both CellLine and CellType collapse onto the corpus-level winner.
+    """
+    from pyspark.sql.window import Window
+
+    term_key = F.lower(F.col("term"))
+    counts = (
+        spans.groupBy(term_key.alias("term_key"), F.col("label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("term_key").orderBy(
+        F.col("cnt").desc(), label_priority_expr(F.col("label")).asc(), F.col("label").asc()
+    )
+    winners = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("term_key", F.col("label").alias("resolved_label"))
+    )
+    out = spans.withColumn("term_key", term_key).join(
+        F.broadcast(winners), "term_key", "left"
+    )
+    # keep only spans whose dictionary row carries the winning label;
+    # tie-break multiple ent_ids per (span, label) by min ent_id.
+    from pyspark.sql.window import Window as W2
+
+    out = out.filter(F.col("label") == F.col("resolved_label"))
+    w2 = W2.partitionBy(
+        "conv_id", "turn_idx", "sent_idx", "start", "end", "label"
+    ).orderBy("ent_id")
+    return (
+        out.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "resolved_label")
+    )
+
+
+def alias_key_expr(term_col) -> Column:
+    """Normalization key for surface-form clustering: lowercase, drop generic
+    type words, strip non-alphanumerics ("HEK 293" ~ "HEK293" ~ "hek293")."""
+    toks = F.split(F.lower(F.trim(term_col)), r"\s+")
+    kept = F.filter(toks, lambda t: ~t.isin(*GENERIC_WORDS))
+    return F.regexp_replace(F.concat_ws("", kept), r"[^a-z0-9]", "")
+
+
+def alias_edges(dictionary: DataFrame) -> DataFrame:
+    """Star edges (ent_id -> min ent_id per alias key). Keeps edge count
+    linear in |dict| instead of quadratic per key group."""
+    keyed = dictionary.select(
+        F.col("ent_id"), alias_key_expr(F.col("term")).alias("akey")
+    ).filter(F.length("akey") > 0)
+    reps = keyed.groupBy("akey").agg(F.min("ent_id").alias("rep"))
+    return (
+        keyed.join(reps, "akey")
+        .select(F.col("ent_id").alias("src"), F.col("rep").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation CC over ``edges(src, dst)`` -> ``(node, component)``.
+
+    Each round: component(node) = min(component(node), min over neighbors).
+    Stops when no component changes (or ``max_iter``). ``localCheckpoint``
+    truncates the lineage so plans stay O(1) per round. Shuffles hash on
+    ``node``; AQE splits skewed hubs.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    comps = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(comps, sym["dst"] == comps["node"])
+            .select(F.col("src").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_comps = (
+            comps.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_comp"), F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        new_comps = new_comps.localCheckpoint(eager=True)
+        changed = new_comps.filter(F.col("_changed")).limit(1).count()
+        comps = new_comps.drop("_changed")
+        if changed == 0:
+            break
+    return comps
+
+
+def entity_clusters(dictionary: DataFrame) -> DataFrame:
+    """``(ent_id, cluster_id)`` for every dictionary entity; singletons map to
+    themselves. cluster_id = min ent_id of the connected component."""
+    edges = alias_edges(dictionary)
+    comps = connected_components(edges)
+    all_ents = dictionary.select("ent_id").distinct()
+    return all_ents.join(
+        comps.withColumnRenamed("node", "ent_id"), "ent_id", "left"
+    ).select(
+        "ent_id", F.coalesce(F.col("component"), F.col("ent_id")).alias("cluster_id")
+    )

@@ -1,0 +1,183 @@
+"""Large-scale deduplication operators (training-data pipeline battery).
+
+All signatures are JVM-side: shingling via ``split``/``zip_with``/``slice``,
+hashing via ``xxhash64(seed, shingle)``, min-hash via ``min`` aggregates,
+banding via ``concat_ws`` + groupBy. No Python UDFs anywhere — at 100 TB the
+cost is one scan + one groupBy per stage, and candidate verification only
+touches bucket-collision pairs (LSH), never the quadratic cross product.
+
+Operators:
+* exact_dedup        — hash-groupBy on normalized text (first/min wins)
+* shingles           — word n-gram shingling (expression helper)
+* minhash_signatures — k independent min-hashes per doc (explode + groupBy
+                       with k ``min(xxhash64(seed_i, sh))`` aggregates)
+* lsh_candidate_pairs— band/bucket join → candidate pairs (dedup by bands)
+* minhash_near_dups  — LSH candidates verified by exact Jaccard (inverted
+                       index join, same shape as queries.q_ngram_jaccard_pairs)
+* simhash            — 64-bit SimHash per doc via per-bit sign sums
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text_expr(col: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one representative (min id) per normalized-text hash.
+    Returns (fingerprint, keep_id, group_size)."""
+    fp = F.md5(normalized_text_expr(F.col(text_col)))
+    return (
+        docs.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+def shingles_expr(text_col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column (JVM array ops)."""
+    toks = F.split(normalized_text_expr(text_col), " ")
+    if k == 1:
+        return F.array_distinct(toks)
+    cols = [F.slice(toks, i + 1, F.greatest(F.size(toks) - k + 1, F.lit(0))) for i in range(k)]
+    sh = cols[0]
+    for c in cols[1:]:
+        sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the tail with nulls -> concat_ws drops them, producing
+    # short shingles; a true k-shingle has exactly k-1 spaces.
+    return F.array_distinct(
+        F.filter(sh, lambda s: F.size(F.split(s, " ")) == k)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — k independent min-hashes per document.
+
+    Explode distinct shingles once, then ONE groupBy computing k
+    ``min(xxhash64(lit(i), shingle))`` aggregates — map-side partial
+    aggregation keeps shuffle volume at k longs per doc regardless of
+    document size."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_k)).alias("sh")
+    )
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join on (band_idx, band_hash) -> candidate
+    pairs (id1 < id2). Shuffle keys are band buckets — collisions only."""
+    assert bands * rows_per_band <= 1 << 10
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard for given candidate pairs via an inverted-index join."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_k)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("id").alias("id1"), F.col("sh"))
+    s2 = sh.select(F.col("id").alias("id2"), F.col("sh"))
+    inter = (
+        pairs.join(s1, "id1").join(s2, ["id2", "sh"]).groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification ≥ threshold. Returns (id1, id2, jaccard)."""
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    return jaccard_pairs(docs, cands, id_col, text_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per-bit sign sum of token hashes, folded back
+    into one long. Explode tokens → 64 conditional-sum aggregates → bit fold.
+    Returns (id, simhash long)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text_expr(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    bits = toks.groupBy("id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
+    return bits.select("id", acc.alias("simhash"))
+
+
+def hamming_distance_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,222 @@
+"""Span algebra — interval joins, IOB conversion, BIO merge, segmentation (M3).
+
+Spark restatements of the reference's span machinery:
+
+* ``assign_spans_to_sentences`` — J8 interval-containment join
+  (entity_processor.py:302-308: entity kept iff inside sentence) with the
+  (conv_id, turn_idx) equi-prefix so it is a partitioned hash join + local
+  range predicate, never a cartesian.
+* ``reoffset_to_sentence``      — F15 arithmetic re-offsetting.
+* ``spans_to_iob``              — J9/F12: token ⊆ span containment join →
+  B-/I-/O tags, regrouped into aligned token/tag arrays.
+* ``iob_to_spans``              — W5 BIO merge: the reference's sequential
+  look-ahead walk (trial_to_papers.ipynb cell 11) as lag/running-sum
+  sessionization + groupBy.
+* ``segment_turns``             — F14 entity-aware windowed splitting
+  (article_normaliser.py:165-258): the one genuinely stateful-cursor op,
+  implemented as a vectorized pandas UDF returning segment arrays (SURVEY.md
+  §7.3(d): impossible as pure SQL), exploded back to rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from otar3088_spark.operators.tagging import tokenize_sentences
+
+
+def assign_spans_to_sentences(doc_spans: DataFrame, sentences: DataFrame) -> DataFrame:
+    """J8: doc-level spans (conv_id, turn_idx, start, end, label) -> sentence
+    rows they are contained in, with F15 re-offsetting to sentence-local
+    coordinates. Spans straddling sentence boundaries are dropped (reference
+    rule, entity_processor.py:302-308)."""
+    s = sentences.select(
+        "conv_id", "turn_idx", "sent_idx", "sent_text", "char_start",
+        (F.col("char_start") + F.length("sent_text")).alias("char_end"),
+    )
+    cond = (
+        (doc_spans["conv_id"] == s["conv_id"])
+        & (doc_spans["turn_idx"] == s["turn_idx"])
+        & (doc_spans["start"] >= s["char_start"])
+        & (doc_spans["end"] <= s["char_end"])
+    )
+    j = doc_spans.alias("m").join(s.alias("s"), cond, "inner")
+    return j.select(
+        F.col("s.conv_id").alias("conv_id"),
+        F.col("s.turn_idx").alias("turn_idx"),
+        F.col("s.sent_idx").alias("sent_idx"),
+        F.col("s.sent_text").alias("sent_text"),
+        (F.col("m.start") - F.col("s.char_start")).cast("int").alias("start"),
+        (F.col("m.end") - F.col("s.char_start")).cast("int").alias("end"),
+        F.col("m.label").alias("label"),
+    )
+
+
+def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
+    """J9/F12: (sentence, spans) -> aligned ``tokens``/``tags`` arrays.
+
+    Token gets ``B-X`` iff it starts the span, ``I-X`` iff strictly inside,
+    else ``O`` (iob_converter.py:47-68). Containment is a left join on the
+    sentence key + range predicate; arrays are rebuilt with
+    sort_array(collect_list(struct(pos, ...))) keeping (pos) order stable.
+    """
+    tok = tokenize_sentences(sentences).select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.posexplode(F.arrays_zip("toks", "starts")).alias("pos", "z"),
+    ).select(
+        "conv_id", "turn_idx", "sent_idx", "pos",
+        F.col("z")["toks"].alias("tok"),
+        F.col("z")["starts"].alias("tok_start"),
+        (F.col("z")["starts"] + F.length(F.col("z")["toks"])).alias("tok_end"),
+    )
+    sp = spans.select("conv_id", "turn_idx", "sent_idx", "start", "end", "label")
+    j = tok.join(sp, ["conv_id", "turn_idx", "sent_idx"], "left")
+    contained = (
+        F.col("start").isNotNull()
+        & (F.col("tok_start") >= F.col("start"))
+        & (F.col("tok_end") <= F.col("end"))
+    )
+    # every token keeps >=1 row from the left join; non-covering span rows
+    # contribute an 'O' candidate and the rank-pick below collapses them.
+    tagged = j.select(
+        "conv_id", "turn_idx", "sent_idx", "pos", "tok",
+        F.when(~contained, F.lit("O"))
+        .when(F.col("tok_start") == F.col("start"), F.concat(F.lit("B-"), F.col("label")))
+        .otherwise(F.concat(F.lit("I-"), F.col("label")))
+        .alias("tag"),
+    )
+    # a token outside every span got no join partner rows with tags other
+    # than its own 'O'; a token inside a span appears once per covering span —
+    # keep the non-O tag (B over I over O) deterministically.
+    rank = (
+        F.when(F.col("tag").startswith("B-"), 0)
+        .when(F.col("tag").startswith("I-"), 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("conv_id", "turn_idx", "sent_idx", "pos").orderBy(
+        rank.asc(), F.col("tag").asc()
+    )
+    best = tagged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("conv_id", "turn_idx", "sent_idx")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "tok", "tag"))).alias("z"),
+        )
+        .select(
+            "conv_id", "turn_idx", "sent_idx",
+            F.transform("z", lambda s: s["tok"]).alias("tokens"),
+            F.transform("z", lambda s: s["tag"]).alias("tags"),
+        )
+    )
+
+
+def filter_all_o(iob: DataFrame) -> DataFrame:
+    """P9: drop sentences whose tag set == {O} (dataset_loader.py:377-379)."""
+    return iob.filter(F.exists("tags", lambda t: t != "O"))
+
+
+def iob_to_spans(iob: DataFrame) -> DataFrame:
+    """W5 BIO merge: token/tag arrays -> (start_pos, end_pos, label) spans.
+
+    span_id = running count of B- tags over token order (sessionization);
+    groupBy(span_id) merges B + following I tokens. The ``##`` subword merge
+    of the reference collapses into the same groupBy because subwords carry
+    I- tags (trial_to_papers.ipynb cell 11)."""
+    ex = iob.select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.posexplode(F.arrays_zip("tokens", "tags")).alias("pos", "z"),
+    ).select(
+        "conv_id", "turn_idx", "sent_idx", "pos",
+        F.col("z")["tokens"].alias("tok"),
+        F.col("z")["tags"].alias("tag"),
+    )
+    w = Window.partitionBy("conv_id", "turn_idx", "sent_idx").orderBy("pos")
+    ex = ex.withColumn(
+        "span_id", F.sum(F.when(F.col("tag").startswith("B-"), 1).otherwise(0)).over(w)
+    ).filter(F.col("tag") != "O")
+    # tokens tagged I- before any B- (malformed) are dropped with span_id==0
+    ex = ex.filter(F.col("span_id") > 0)
+    return (
+        ex.groupBy("conv_id", "turn_idx", "sent_idx", "span_id")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            F.concat_ws(" ", F.sort_array(F.collect_list(F.struct("pos", "tok"))).getField("tok")).alias("text"),
+            F.min(F.regexp_replace("tag", "^[BI]-", "")).alias("label"),
+        )
+        .drop("span_id")
+    )
+
+
+_SEG_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("seg_idx", T.IntegerType()),
+            T.StructField("seg_text", T.StringType()),
+            T.StructField("seg_start", T.IntegerType()),
+        ]
+    )
+)
+
+
+def segment_turns(
+    normalized: DataFrame, max_len: int = 500, spans: DataFrame | None = None
+) -> DataFrame:
+    """F14 entity-aware segmentation (article_normaliser.py:165-258).
+
+    Splits ``clean_text`` into ≤ ``max_len``-char segments at space
+    boundaries, extending a window rather than cutting through an entity
+    span. Stateful per-row cursor loop → vectorized pandas UDF (the one
+    sanctioned non-SQL op of this module); output exploded back to rows
+    ``(conv_id, turn_idx, seg_idx, seg_text, seg_start)``.
+    """
+    span_df = None
+    if spans is not None:
+        span_df = (
+            spans.groupBy("conv_id", "turn_idx")
+            .agg(F.collect_list(F.struct("start", "end")).alias("ents"))
+        )
+        src = normalized.join(span_df, ["conv_id", "turn_idx"], "left")
+    else:
+        src = normalized.withColumn("ents", F.lit(None).cast("array<struct<start:int,end:int>>"))
+
+    @F.pandas_udf(_SEG_SCHEMA)
+    def segs(text: pd.Series, ents: pd.Series) -> pd.Series:
+        out = []
+        for t, es in zip(text, ents):
+            entities = sorted((int(e["start"]), int(e["end"])) for e in (es or []))
+            res, cur, idx = [], 0, 0
+            while cur < len(t):
+                end = min(cur + max_len, len(t))
+                if end < len(t):
+                    # extend to cover any entity straddling the cut
+                    for s_, e_ in entities:
+                        if s_ < end < e_:
+                            end = e_
+                    # then back off to a space boundary if possible
+                    sp = t.rfind(" ", cur, end + 1)
+                    safe = sp > cur and not any(s_ < sp < e_ for s_, e_ in entities)
+                    if safe and sp - cur >= max_len // 2:
+                        end = sp
+                seg = t[cur:end].strip()
+                if seg:
+                    res.append((idx, seg, cur + (len(t[cur:end]) - len(t[cur:end].lstrip()))))
+                    idx += 1
+                cur = end + 1 if end < len(t) and t[end] == " " else end
+            out.append(res)
+        return pd.Series(out)
+
+    segged = src.withColumn("segs", segs(F.col("clean_text"), F.col("ents")))
+    return segged.select(
+        "conv_id", "turn_idx", F.explode("segs").alias("g")
+    ).select(
+        "conv_id", "turn_idx",
+        F.col("g")["seg_idx"].alias("seg_idx"),
+        F.col("g")["seg_text"].alias("seg_text"),
+        F.col("g")["seg_start"].alias("seg_start"),
+    )

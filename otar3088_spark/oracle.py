@@ -1,0 +1,244 @@
+"""Pure-pandas golden oracle — independent re-implementation of the pipeline
+semantics for P/R scoring (SURVEY.md §5: the reference has no golden corpus,
+so we build one; the reference's own correctness check is span-level P/R/F1,
+metrics.py:20-40, and BASELINE.json demands P/R >= 0.95 on triples).
+
+No Spark imports here: this is the trusted side of the differential test.
+Every rule mirrors a cited reference behavior (see functions/text.py and
+operators/tagging.py docstrings for the file:line map).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+
+from otar3088_spark.synth import LABEL_PRIORITY
+
+GENERIC_WORDS = {"cell", "cells", "line", "lines", "tissue", "tissues"}
+REDLIST = re.compile(r"(genesis|cytic|ial|yal)$")
+HEADER_RE = re.compile(
+    r"^(abstract|introduction|methods|results|discussion|conclusion|background|"
+    r"acknowledgements|references|conflict of interest|supplementary material)$|^pmc[0-9]+$"
+)
+_PRIORITY = {lab: i for i, lab in enumerate(LABEL_PRIORITY)}
+
+
+def clean_text(s: str) -> str:
+    s = re.sub(r"\{[^{}]*\}", " ", s)
+    s = re.sub(r"\\[a-zA-Z]+", " ", s)
+    s = re.sub(r"\[[0-9]+(\s*,\s*[0-9]+)*\]", " ", s)
+    s = re.sub(r"\s+", " ", s)
+    return s.strip()
+
+
+def sentences_of(clean: str) -> list[tuple[int, str]]:
+    """[(char_start, sent_text)] — same lookbehind split as the engine."""
+    parts = re.split(r"(?<=[.!?]) ", clean)
+    out, cur = [], 0
+    for p in parts:
+        if len(p) > 0:
+            out.append((cur, p))
+        cur += len(p) + 1
+    return out
+
+
+def token_core(tok: str) -> tuple[int, str]:
+    """(lead_strip_width, core)"""
+    lead = re.match(r"""^[(\["']+""", tok)
+    ln = lead.end() if lead else 0
+    core = re.sub(r"""[)\].,;:!?"']+$""", "", tok[ln:])
+    return ln, core
+
+
+def destem(key: str) -> str | None:
+    if key.endswith("'s"):
+        return key[:-2]
+    if key.endswith("s") and len(key) > 3:
+        return key[:-1]
+    return None
+
+
+def prepare_dictionary(dict_df: pd.DataFrame) -> pd.DataFrame:
+    d = dict_df[dict_df["term"].str.len() > 2].copy()
+    d = d[~((d["label"] == "Anatomy") & d["term"].str.lower().str.contains(REDLIST))]
+    d["term_tokens"] = d["term"].str.lower().str.strip().str.split()
+    d["n"] = d["term_tokens"].map(len)
+    d["first_tok"] = d["term_tokens"].map(lambda t: t[0])
+    d = d.drop_duplicates(subset=["ent_id", "label", "term"])
+    return d.reset_index(drop=True)
+
+
+def _match_sentence(sent: str, dict_rows: list[tuple]) -> list[dict]:
+    toks = sent.split(" ")
+    starts, cur = [], 0
+    for t in toks:
+        starts.append(cur)
+        cur += len(t) + 1
+    leads, cores = zip(*(token_core(t) for t in toks)) if toks else ((), ())
+    keys = [c.lower() for c in cores]
+    keys_ds = [destem(k) for k in keys]
+
+    spans = []
+    for pos in range(len(toks)):
+        for ent_id, label, term, term_tokens, n, first in dict_rows:
+            anchor_ok_exact = keys[pos] == first
+            anchor_ok_ds = keys_ds[pos] == first
+            if n == 1:
+                if not (anchor_ok_exact or anchor_ok_ds):
+                    continue
+            else:
+                if not anchor_ok_exact:
+                    continue
+                if pos + n > len(toks):
+                    continue
+                if keys[pos + 1 : pos + n - 1] != term_tokens[1 : n - 1]:
+                    continue
+                last_k, last_ds = keys[pos + n - 1], keys_ds[pos + n - 1]
+                if not (last_k == term_tokens[-1] or last_ds == term_tokens[-1]):
+                    continue
+            start = starts[pos] + leads[pos]
+            end = starts[pos + n - 1] + leads[pos + n - 1] + len(cores[pos + n - 1])
+            spans.append(
+                {
+                    "start": start,
+                    "end": end,
+                    "surface": sent[start:end],
+                    "term": term,
+                    "label": label,
+                    "ent_id": ent_id,
+                }
+            )
+    # dedup + longest-match containment drop
+    seen, uniq = set(), []
+    for s in spans:
+        k = (s["start"], s["end"], s["label"], s["ent_id"])
+        if k not in seen:
+            seen.add(k)
+            uniq.append(s)
+    kept = []
+    for a in uniq:
+        contained = any(
+            b["start"] <= a["start"]
+            and a["end"] <= b["end"]
+            and (b["end"] - b["start"]) > (a["end"] - a["start"])
+            for b in uniq
+        )
+        if not contained:
+            kept.append(a)
+    return kept
+
+
+def extract_spans(transcripts: pd.DataFrame, dict_df: pd.DataFrame) -> pd.DataFrame:
+    d = prepare_dictionary(dict_df)
+    dict_rows = list(
+        d[["ent_id", "label", "term", "term_tokens", "n", "first_tok"]].itertuples(
+            index=False, name=None
+        )
+    )
+    t = transcripts.dropna(subset=["text", "conv_id"]).drop_duplicates(
+        subset=["conv_id", "turn_idx"]
+    )
+    t = t[~t["text"].str.strip().str.lower().str.match(HEADER_RE)]
+    rows = []
+    for conv_id, turn_idx, text in t[["conv_id", "turn_idx", "text"]].itertuples(
+        index=False, name=None
+    ):
+        clean = clean_text(text)
+        for sent_idx, (cstart, sent) in enumerate(sentences_of(clean)):
+            for s in _match_sentence(sent, dict_rows):
+                rows.append(
+                    {"conv_id": conv_id, "turn_idx": int(turn_idx), "sent_idx": sent_idx, **s}
+                )
+    return pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "sent_idx", "start", "end", "surface", "term", "label", "ent_id"],
+    )
+
+
+def resolve_labels(spans: pd.DataFrame) -> pd.DataFrame:
+    if spans.empty:
+        return spans
+    s = spans.copy()
+    s["term_key"] = s["term"].str.lower()
+    counts = s.groupby(["term_key", "label"]).size().reset_index(name="cnt")
+    counts["prio"] = counts["label"].map(lambda l: _PRIORITY.get(l, len(_PRIORITY)))
+    counts = counts.sort_values(["term_key", "cnt", "prio", "label"], ascending=[True, False, True, True])
+    winners = counts.drop_duplicates("term_key")[["term_key", "label"]].rename(
+        columns={"label": "resolved_label"}
+    )
+    s = s.merge(winners, on="term_key")
+    s = s[s["label"] == s["resolved_label"]]
+    s = s.sort_values("ent_id").drop_duplicates(
+        subset=["conv_id", "turn_idx", "sent_idx", "start", "end", "label"], keep="first"
+    )
+    return s.drop(columns=["term_key", "resolved_label"]).reset_index(drop=True)
+
+
+def alias_key(term: str) -> str:
+    toks = [t for t in term.lower().strip().split() if t not in GENERIC_WORDS]
+    return re.sub(r"[^a-z0-9]", "", "".join(toks))
+
+
+def entity_clusters(dict_df: pd.DataFrame) -> dict[str, str]:
+    d = prepare_dictionary(dict_df)
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_key: dict[str, list[str]] = {}
+    for ent_id, term in d[["ent_id", "term"]].itertuples(index=False, name=None):
+        k = alias_key(term)
+        if k:
+            by_key.setdefault(k, []).append(ent_id)
+    for ents in by_key.values():
+        for e in ents[1:]:
+            union(ents[0], e)
+    all_ents = set(dict_df["ent_id"])
+    return {e: find(e) if e in parent else e for e in all_ents}
+
+
+def golden_triples(
+    transcripts: pd.DataFrame,
+    dict_df: pd.DataFrame,
+    events: pd.DataFrame | None = None,
+) -> pd.DataFrame:
+    """Distinct (subj, pred, obj) golden set."""
+    spans = resolve_labels(extract_spans(transcripts, dict_df))
+    clusters = entity_clusters(dict_df)
+    rows = set()
+    for r in spans.itertuples(index=False):
+        cluster = clusters.get(r.ent_id, r.ent_id)
+        rows.add((r.ent_id, "is_a", r.label))
+        rows.add((f"{r.conv_id}:{r.turn_idx}", "mentions", cluster))
+        rows.add((r.surface.lower(), "linked_to", r.ent_id))
+        if r.ent_id != cluster:
+            rows.add((r.ent_id, "same_as", cluster))
+    if events is not None:
+        for r in events.itertuples(index=False):
+            if r.event_type != "Adverse_event":
+                continue
+            ev = json.loads(r.event_data)
+            drug = (ev.get("subject") or {}).get("Drug")
+            effect = (ev.get("Effect") or {}).get("text")
+            if drug and effect:
+                rows.add((drug, "causes", effect))
+    return pd.DataFrame(sorted(rows), columns=["subj", "pred", "obj"])
+
+
+def precision_recall(pred: set[tuple], gold: set[tuple]) -> tuple[float, float]:
+    if not pred or not gold:
+        return (0.0, 0.0)
+    tp = len(pred & gold)
+    return tp / len(pred), tp / len(gold)

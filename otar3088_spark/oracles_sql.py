@@ -1,0 +1,290 @@
+"""DuckDB oracle SQL for every entry in ``queries.QUERIES``.
+
+Same column names + aliases as the Spark side (driver hashes values after
+sorting columns by name). Float aggregates rounded to 4 decimals on both
+sides; timestamps surfaced as formatted strings. Tables are pre-registered
+DuckDB views: region nation customer supplier part orders lineitem events
+documents embeddings.
+"""
+
+from __future__ import annotations
+
+from otar3088_spark.queries import DOC_DICT
+
+_DOC_DICT_VALUES = ", ".join(f"('{i}', '{t}', '{l}')" for (i, t, l) in DOC_DICT)
+
+# Dictionary CTE reused by the tagging oracles. Only multi-token n in {1,2}
+# occurs in DOC_DICT; the SQL handles both via a unigram and a bigram pass,
+# then applies the engine's longest-match containment rule with NOT EXISTS.
+_TAGGING_CTE = f"""
+WITH dict(ent_id, term, label) AS (VALUES {_DOC_DICT_VALUES}),
+toks_raw AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok_raw,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, lower(tok_raw) AS tok, pos::INT AS pos, length(tok_raw) AS len
+    FROM toks_raw
+),
+pos_toks AS (
+    SELECT doc_id, tok, pos, len,
+           COALESCE(SUM(len + 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS start
+    FROM toks
+),
+uni AS (
+    SELECT p.doc_id, p.start, (p.start + p.len)::INT AS "end",
+           d.term, d.label, d.ent_id
+    FROM pos_toks p JOIN dict d
+      ON p.tok = d.term AND length(d.term) > 2 AND strpos(d.term, ' ') = 0
+),
+bi AS (
+    SELECT a.doc_id, a.start, (b.start + b.len)::INT AS "end",
+           d.term, d.label, d.ent_id
+    FROM pos_toks a
+    JOIN pos_toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN dict d ON strpos(d.term, ' ') > 0
+      AND a.tok = string_split(d.term, ' ')[1]
+      AND b.tok = string_split(d.term, ' ')[2]
+),
+allm AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+dedup AS (SELECT DISTINCT doc_id, start, "end", term, label, ent_id FROM allm),
+spans AS (
+    SELECT a.* FROM dedup a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM dedup b
+        WHERE b.doc_id = a.doc_id AND b.start <= a.start AND a."end" <= b."end"
+          AND (b."end" - b.start) > (a."end" - a.start)
+    )
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "right_join_dedup": """
+        SELECT c_custkey, c_name,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+        FROM orders RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+          ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "multiway_join": """
+        SELECT r_name, count(*) AS n_suppliers, round(avg(s_acctbal), 4) AS avg_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "broadcast_lookup": """
+        SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "semi_anti": """
+        SELECT p_type, count(*) AS n_parts, 'with_sales' AS bucket
+        FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        GROUP BY p_type
+        UNION ALL
+        SELECT p_type, count(*) AS n_parts, 'without_sales' AS bucket
+        FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        GROUP BY p_type
+    """,
+    "filter_battery": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_orderstatus <> 'F'
+          AND (o_orderpriority LIKE '%URGENT%' OR o_orderpriority IN ('2-HIGH'))
+          AND length(o_orderpriority) > 2
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "dedup_first_wins": """
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts, event_type
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "mode_priority": """
+        SELECT p_brand, p_type AS mode_type, cnt
+        FROM (
+            SELECT p_brand, p_type, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY p_brand ORDER BY count(*) DESC, p_type ASC) AS rn
+            FROM part GROUP BY p_brand, p_type
+        ) WHERE rn = 1 ORDER BY p_brand
+    """,
+    "distinct_set_audit": """
+        SELECT p_brand, count(DISTINCT p_type) AS n_types
+        FROM part GROUP BY p_brand HAVING count(DISTINCT p_type) > 1
+        ORDER BY p_brand
+    """,
+    "topk_per_group": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rnk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+    """,
+    "sessionize": """
+        WITH g AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                          OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), s AS (
+            SELECT user_id, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 4) AS session_value
+        FROM s GROUP BY user_id, session_id
+    """,
+    "set_ops": """
+        WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+             erroring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+             cb AS (SELECT user_id, 'click_and_buy' AS cohort FROM (SELECT * FROM clickers INTERSECT SELECT * FROM buyers)),
+             noerr AS (SELECT user_id, 'click_no_error' AS cohort FROM (SELECT * FROM clickers EXCEPT SELECT * FROM erroring))
+        SELECT cohort, count(*) AS n_users
+        FROM (SELECT * FROM cb UNION ALL SELECT * FROM noerr)
+        GROUP BY cohort ORDER BY cohort
+    """,
+    "json_props": """
+        SELECT event_type,
+               round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+               max(CAST(props->>'$.k' AS INT)) AS max_k,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "token_stats": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+               round(len(list_distinct(string_split(text, ' '))) /
+                     len(string_split(text, ' '))::DOUBLE, 4) AS ttr
+        FROM documents
+    """,
+    "term_tagging": _TAGGING_CTE
+    + """
+        SELECT doc_id, start, "end", term, label, ent_id FROM spans
+    """,
+    "mentions_rollup": _TAGGING_CTE
+    + """
+        SELECT term, label, count(*) AS n_mentions,
+               count(DISTINCT doc_id) AS n_docs
+        FROM spans GROUP BY term, label ORDER BY term, label
+    """,
+    "fingerprint": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+               md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 30)) AS prefix_fp
+        FROM documents
+    """,
+    "dedup_exact": """
+        SELECT md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 30)) AS prefix_fp,
+               min(doc_id) AS keep_doc_id, count(*) AS group_size
+        FROM documents
+        GROUP BY prefix_fp HAVING count(*) > 0
+    """,
+    "quality_score": """
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) /
+                     len(string_split(text, ' '))::DOUBLE, 4) AS stopword_ratio,
+               round(list_sum(list_transform(string_split(text, ' '), t -> length(t))) /
+                     len(string_split(text, ' '))::DOUBLE, 4) AS mean_tok_len,
+               CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) > 0
+                    THEN 'en_like' ELSE 'unknown' END AS lang_guess
+        FROM documents
+    """,
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS sh
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1, d2,
+               round(inter / (s1.sz + s2.sz - inter)::DOUBLE, 4) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE inter / (s1.sz + s2.sz - inter)::DOUBLE >= 0.5
+    """,
+    "ann_cosine_topk": """
+        SELECT q_id, vec_id, round(cos, 4) AS cos, rnk
+        FROM (
+            SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+                   list_cosine_similarity(x.embedding, q.embedding) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(x.embedding, q.embedding) DESC,
+                                x.vec_id ASC) AS rnk
+            FROM embeddings x
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+              ON x.vec_id <> q.vec_id
+        ) WHERE rnk <= 5
+    """,
+    "connected_components": """
+        WITH RECURSIVE sym AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+            UNION
+            SELECT b.doc_id, a.doc_id
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        walk(node, comp) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+        )
+        SELECT node AS doc_id, min(comp) AS component
+        FROM walk GROUP BY node
+    """,
+}

@@ -1,0 +1,87 @@
+"""End-to-end KG-construction DAG (SURVEY.md §7.1, BASELINE.json north_star).
+
+transcripts(conv_id, turn_idx, role, text, tool, ts)
+  -> P0 normalize (dedup/null/header filters + clean_text exprs)
+  -> P1 sentencize (lookbehind split + aggregate offset scan, no UDF)
+  -> P2 mention detection (token-blocked broadcast dictionary join)
+  -> P4/P5 disambiguation + canonicalization (mode/priority + CC clusters)
+  -> P6 triples + node/edge graph tables
+
+One linear declarative DAG: Catalyst sees the whole plan, pushes filters into
+the scan, prunes columns, broadcasts the dictionary, and AQE right-sizes the
+two real shuffles (term-count groupBy; triple dedup). The span table is
+persisted once because it feeds both the label-resolution aggregate and the
+triple projection (deliberate reuse point, SURVEY.md §4 caching row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from otar3088_spark.operators.canonicalize import entity_clusters, resolve_labels
+from otar3088_spark.operators.sentencize import normalize_turns, sentencize
+from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions
+from otar3088_spark.operators.triples import causes_triples, graph_tables, mention_triples
+
+
+@dataclass
+class KGResult:
+    sentences: DataFrame
+    spans: DataFrame
+    resolved_spans: DataFrame
+    clusters: DataFrame
+    triples: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+
+
+def build_kg(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    events: DataFrame | None = None,
+    salt_partitions: int | None = None,
+    persist_spans: bool = True,
+) -> KGResult:
+    """Run the full pipeline; returns every intermediate as a DataFrame.
+
+    All outputs are deterministic order-insensitive sets keyed by stable ids —
+    parity with the (imap_unordered-nondeterministic, split2sent_par.py:303)
+    reference is defined on triple sets, per SURVEY.md §7.3(c).
+    """
+    normalized = normalize_turns(transcripts, salt_partitions=salt_partitions)
+    sentences = sentencize(normalized)
+    dict_prepared = prepare_dictionary(dictionary)
+    spans = tag_mentions(sentences, dict_prepared)
+    if persist_spans:
+        # spans feed both the label-resolution aggregate and (via resolved)
+        # the triple projection — one deliberate reuse point each.
+        spans = spans.persist()
+    resolved = resolve_labels(spans)
+    if persist_spans:
+        resolved = resolved.persist()
+    clusters = entity_clusters(dict_prepared)
+    triples = mention_triples(resolved, clusters)
+    if events is not None:
+        triples = triples.unionByName(causes_triples(events))
+    nodes, edges = graph_tables(triples)
+    return KGResult(
+        sentences=sentences,
+        spans=spans,
+        resolved_spans=resolved,
+        clusters=clusters,
+        triples=triples,
+        nodes=nodes,
+        edges=edges,
+    )
+
+
+def validate_alignment(spans: DataFrame) -> DataFrame:
+    """F16 invariant check as a DataFrame: rows violating
+    ``substring(sent_text, start+1, end-start) == surface`` (must be empty).
+    Mirrors article_normaliser.py:285-324's bounds/text validation."""
+    return spans.filter(
+        F.expr("substring(sent_text, start + 1, end - start)") != F.col("surface")
+    )

@@ -1,0 +1,476 @@
+"""Operator-parity query battery — SURVEY.md §2 inventory as runnable queries.
+
+Each ``q_*`` function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching entry in ``ORACLE_SQL`` is ANSI SQL DuckDB runs on the same parquet
+(driver contract, ``__spark_entry__.py``). Conventions for hash-stable
+comparison: every computed column is aliased identically on both sides,
+floating aggregates are ``round(x, 4)``, timestamps are surfaced as strings.
+
+The SURVEY.md §2 operator ids covered by each query are listed in its
+docstring — this file is the line-by-line coverage evidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Small inline dictionary over the documents vocabulary (single- and
+# multi-token terms) used by the tagging-parity queries.
+DOC_DICT = [
+    ("T01", "table", "Obj"),
+    ("T02", "spark", "Sys"),
+    ("T03", "customer", "Obj"),
+    ("T04", "hash value", "Expr"),
+    ("T05", "sort key", "Expr"),
+    ("T06", "group value", "Expr"),
+    ("T07", "window table", "Expr"),
+    ("T08", "stream", "Sys"),
+]
+
+
+# --------------------------------------------------------------------------
+# Relational parity (S6 scan, P2-P5 filters, J1-J3/J7, A1-A9, W1-W5, U1-U3)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6/A7 aggregate battery (TPC-H Q1 shape): scan+filter pushdown,
+    partial aggregation, multi-agg groupBy. [S6, P5, A1, A6, A7]"""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k (TPC-H Q3 shape). [J2, A1, W4]"""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_right_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right equi-join + groupBy dedup (cell_line_papers.py:17-40 shape). [J1, A5]"""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way star join (trial_data_gather.py:36-60 shape); small dims broadcast
+    automatically by Catalyst. [J2, A1, A7]"""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary lookup join — the reference's O(n*m) map_to_dictionary loop
+    (chembl_sql_utils.py:25-40) as an explicit broadcast hash join. [J3]"""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti coverage audit (annotation_filtering.py:67-75).
+    [J7, U2, U3]"""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    with_sales = p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+    without_sales = p.join(li, p["p_partkey"] == li["l_partkey"], "left_anti")
+    return (
+        with_sales.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("bucket", F.lit("with_sales"))
+        .unionByName(
+            without_sales.groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .withColumn("bucket", F.lit("without_sales"))
+        )
+    )
+
+
+def q_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate stack: not-null, !=, LIKE/ILIKE, isin, length (P2/P4/P5/P6)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey").isNotNull())
+        .filter(F.col("o_orderstatus") != "F")
+        .filter(F.col("o_orderpriority").like("%URGENT%") | F.col("o_orderpriority").isin("2-HIGH"))
+        .filter(F.length("o_orderpriority") > 2)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins dedup via row_number (drop_duplicates keep='first',
+    extract_articles.py:176-181; DISTINCT ON, trial_data_gather.py:101-103).
+    [P3, W3]"""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            "event_type",
+        )
+    )
+
+
+def q_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonicalization kernel (A2, cellfinder_clean.ipynb cell 16) stated
+    relationally: per p_brand the most frequent p_type, ties by name asc."""
+    p = _t(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("p_brand").orderBy(F.col("cnt").desc(), F.col("p_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_type").alias("mode_type"), "cnt")
+        .orderBy("p_brand")
+    )
+
+
+def q_distinct_set_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups with >1 distinct member (sanity audit A3,
+    cellfinder_clean.ipynb cell 18)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.countDistinct("p_type").alias("n_types"))
+        .filter(F.col("n_types") > 1)
+        .orderBy("p_brand")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer (W1 top-/bottom-K pattern,
+    chembl_sql_utils.py:66-85)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"), "rnk")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 sequential look-ahead restated: lag + running-sum sessionization of
+    events (gap > 30 min starts a session), the Spark shape of the
+    reference's B-/I- span-merge walk (trial_to_papers.ipynb cell 11)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # ts is TIMESTAMP_NTZ: route through timestamp (session tz pinned UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(w)
+    e2 = e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    e3 = e2.withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        e3.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3: union + intersect + except over event-type user sets
+    (trial_to_papers.ipynb cells 17-18 set algebra)."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = clickers.intersect(buyers).withColumn("cohort", F.lit("click_and_buy"))
+    no_err = clickers.exceptAll(erroring).distinct().withColumn("cohort", F.lit("click_no_error"))
+    return both.unionByName(no_err).groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users")).orderBy("cohort")
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/F7 JSON field extraction (from_json vs literal_eval revival,
+    utils/common.py:246-263)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text / KG operators over `documents` (the tagging/linking hot path)
+
+
+def _doc_dict_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, t, l) for (i, t, l) in DOC_DICT], ["ent_id", "term", "label"]
+    ).withColumn("canonical_id", F.col("ent_id"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + distinct tokens per doc (text-analysis op; F4/A4).
+    Pure JVM: split + size + array_distinct."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
+    )
+
+
+def q_term_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer tagging parity over documents (J4/J5 token-blocked broadcast
+    join): every (doc, term, label, start-offset) dictionary hit. Exercises
+    the exact engine code path used by the KG pipeline."""
+    from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.col("text").alias("sent_text"),
+    )
+    spans = tag_mentions(d, prepare_dictionary(_doc_dict_df(spark)))
+    return spans.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "start",
+        "end",
+        "term",
+        "label",
+        "ent_id",
+    )
+
+
+def q_mentions_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention frequency rollup (A1 over tagging output): per (term,label)
+    total hits + docs containing it."""
+    spans = q_term_tagging(spark, sf_dir)
+    return (
+        spans.groupBy("term", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("term", "label")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (text-analysis op): md5 over normalized text;
+    prefix-fingerprint groups surface near-boilerplate docs."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.substring(norm, 1, 30)).alias("prefix_fp"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (dedup op #1): keep min doc_id per
+    30-char-prefix fingerprint, count members."""
+    fp = q_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("prefix_fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 0)
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring + n-gram language heuristic (text-analysis ops):
+    stopword ratio, mean token length, lang guess. All JVM exprs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_n = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    ) / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(stop_n / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(mean_len, 4).alias("mean_tok_len"),
+        F.when(stop_n > 0, F.lit("en_like")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by token-bigram Jaccard >= 0.5 (dedup op #4).
+    Shuffle-safe shape: explode distinct shingles, self-join on shingle
+    (inverted index), count intersections, join doc sizes. [dedup]"""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.array_distinct(
+        F.zip_with(toks, F.slice(toks, 2, F.size(toks)), lambda a, b: F.concat_ws(" ", a, b))
+    )
+    # zip_with pads the tail with null -> concat_ws yields a bare unigram;
+    # a true bigram contains exactly one space, so keep only those.
+    sh = d.select(F.col("doc_id"), F.explode(bigrams).alias("sh")).filter(
+        F.col("sh").contains(" ")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for probe vectors (similarity-search
+    baseline). Dot product via zip_with+aggregate — JVM-side, no UDF; probe
+    side broadcast. [similarity]"""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = e.alias("x").join(F.broadcast(probes), F.col("x.vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("x.embedding"), F.col("q_emb"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col("x.vec_id").alias("vec_id"),
+        (dot / (norm(F.col("x.embedding")) * norm(F.col("q_emb")))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rnk")
+    )
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC over a chain graph (P5 canonicalization primitive): edges link
+    consecutive doc_ids sharing a lang; component = min reachable doc_id.
+    Exercises the engine's iterative min-label propagation."""
+    from otar3088_spark.operators.canonicalize import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1) & (F.col("a.lang") == F.col("b.lang")),
+    ).select(
+        F.col("a.doc_id").cast("string").alias("src"),
+        F.col("b.doc_id").cast("string").alias("dst"),
+    )
+    comps = connected_components(edges, max_iter=50)
+    return comps.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "right_join_dedup": q_right_join_dedup,
+    "multiway_join": q_multiway_join,
+    "broadcast_lookup": q_broadcast_lookup,
+    "semi_anti": q_semi_anti,
+    "filter_battery": q_filter_battery,
+    "dedup_first_wins": q_dedup_first_wins,
+    "mode_priority": q_mode_priority,
+    "distinct_set_audit": q_distinct_set_audit,
+    "topk_per_group": q_topk_per_group,
+    "sessionize": q_sessionize,
+    "set_ops": q_set_ops,
+    "json_props": q_json_props,
+    "token_stats": q_token_stats,
+    "term_tagging": q_term_tagging,
+    "mentions_rollup": q_mentions_rollup,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "quality_score": q_quality_score,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "connected_components": q_connected_components,
+}

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale posture (BASELINE.json north_rule): the same builder config is what we
+would pass to ``spark-submit`` on a 1000-executor cluster — AQE for runtime
+re-planning and skew-join splitting, Arrow for the (rare) pandas-UDF surface,
+shuffle partitions sized to cores locally / to ``max(2*cores_total, input_TB*64)``
+on a cluster. Locally everything runs in one JVM (``local[N]``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Columns of the canonical input table (BASELINE.json input_hint).
+TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def get_spark(
+    app_name: str = "otar3088-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or 32.
+    ``shuffle_partitions`` defaults to ``cores`` — right-sized for local mode;
+    on a real cluster pass an explicit value (~2-3x total executor cores).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        # --- determinism / oracle comparability ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: runtime re-plan, skew-join split, coalesce ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Arrow transport for the sanctioned pandas-UDF surface ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # --- scans: keep file-split sizing explicit so partition counts are
+        #     stable across sf tiers (parquet row-group aligned) ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast: dictionaries are always small dims; give headroom ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule: ≥0.8
+efficiency from N to 4N executors).
+
+No real cluster exists in this sandbox, so the criterion is evidenced by
+running the IDENTICAL KG job on IDENTICAL deterministic input at two
+parallelism levels — local[8] vs local[32] (4x cores, shuffle partitions
+scaled with cores) — in separate JVMs (subprocesses), reporting turns/sec at
+both plus efficiency = (T32/T8)/4. Writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+
+def run(cores: int, turns: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--cores", str(cores), "--only", "kg",
+         "--kg-turns", str(turns)],
+        capture_output=True, text=True, check=True, cwd=str(REPO),
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    turns = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "400000"))
+    n_small, n_big = 8, 32
+    r_small = run(n_small, turns)
+    r_big = run(n_big, turns)
+    tps_small = r_small["kg"]["kg_turns_per_sec"]
+    tps_big = r_big["kg"]["kg_turns_per_sec"]
+    eff = round((tps_big / tps_small) / (n_big / n_small), 3)
+    report = {
+        "turns": turns,
+        "cores_small": n_small,
+        "cores_big": n_big,
+        "turns_per_sec_small": tps_small,
+        "turns_per_sec_big": tps_big,
+        "speedup": round(tps_big / tps_small, 3),
+        "scaling_efficiency": eff,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+    md = REPO / "BENCH" / "SCALING.md"
+    md.parent.mkdir(exist_ok=True)
+    md.write_text(
+        "# Scaling evidence — N vs 4N parallelism (sandbox substitute for two cluster sizes)\n\n"
+        "Identical KG job (normalize → sentencize → tag → canonicalize → triples) on an\n"
+        f"identical deterministic synthetic corpus of {turns:,} turns "
+        "(`otar3088_spark.synth.transcripts_spark`, pure column exprs), run in separate JVMs.\n\n"
+        "| cores | shuffle partitions | turns/sec |\n|---|---|---|\n"
+        f"| {n_small} | {n_small} | {tps_small:,.1f} |\n"
+        f"| {n_big} | {n_big} | {tps_big:,.1f} |\n\n"
+        f"Speedup {n_small}→{n_big} cores (4x): **{report['speedup']}x**; "
+        f"scaling efficiency = (tps_big/tps_small)/4 = **{eff}** "
+        f"(target ≥ 0.8 → {'PASS' if report['pass'] else 'FAIL'}).\n\n"
+        "Config per run: AQE on (coalesce + skew-join), shuffle partitions = cores,\n"
+        "Arrow batch 4096, broadcast dictionary join (no shuffle on the tagging path),\n"
+        "salted repartition(conv_id, turn_idx) at 2x cores.\n"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Differential tests: Spark engine vs the pure-pandas oracle (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from otar3088_spark import oracle
+from otar3088_spark.operators.sentencize import normalize_turns, sentencize
+from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions
+from otar3088_spark.plans.kg_pipeline import build_kg, validate_alignment
+
+
+def test_clean_text_expr_matches_oracle(spark):
+    from otar3088_spark.functions.text import clean_text_expr
+
+    samples = [
+        "plain text here.",
+        "{\\it latex} group removed.",
+        "a \\textbf command [1, 23] citation  double  space.",
+        "  lead/trail   ",
+        "keep [brackets] without digits [a1].",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    got = [r[0] for r in df.select(clean_text_expr(F.col("text"))).collect()]
+    want = [oracle.clean_text(s) for s in samples]
+    assert got == want
+
+
+def test_sentencize_offsets_are_exact(spark, transcripts_df):
+    sents = sentencize(normalize_turns(transcripts_df))
+    # invariant: sentence text re-extractable from the cleaned turn via offset
+    norm = normalize_turns(transcripts_df).select("conv_id", "turn_idx", "clean_text")
+    j = sents.join(norm, ["conv_id", "turn_idx"])
+    bad = j.filter(
+        F.expr("substring(clean_text, char_start + 1, length(sent_text))") != F.col("sent_text")
+    )
+    assert bad.count() == 0
+
+
+def test_per_turn_text_equality(spark, transcripts_df, transcripts_pd):
+    """BASELINE.json per-row invariant: per-turn cleaned text equality under
+    stable (conv_id, turn_idx) ordering vs the oracle."""
+    norm = (
+        normalize_turns(transcripts_df)
+        .select("conv_id", "turn_idx", "clean_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    t = transcripts_pd.dropna(subset=["text", "conv_id"]).drop_duplicates(
+        subset=["conv_id", "turn_idx"]
+    )
+    t = t[~t["text"].str.strip().str.lower().str.match(oracle.HEADER_RE)]
+    want = (
+        t.assign(clean_text=t["text"].map(oracle.clean_text))[
+            ["conv_id", "turn_idx", "clean_text"]
+        ]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want["turn_idx"] = want["turn_idx"].astype("int32")
+    pd.testing.assert_frame_equal(norm, want)
+
+
+def _span_set(df: pd.DataFrame) -> set:
+    return set(
+        df[["conv_id", "turn_idx", "sent_idx", "start", "end", "label", "ent_id"]]
+        .astype({"turn_idx": int, "sent_idx": int, "start": int, "end": int})
+        .itertuples(index=False, name=None)
+    )
+
+
+def test_tagging_matches_oracle(spark, transcripts_df, dictionary_df, transcripts_pd, dictionary_pd):
+    sents = sentencize(normalize_turns(transcripts_df))
+    spans = tag_mentions(sents, prepare_dictionary(dictionary_df)).toPandas()
+    want = oracle.extract_spans(transcripts_pd, dictionary_pd)
+    assert len(want) > 100, "fixture must produce a meaningful number of mentions"
+    assert _span_set(spans) == _span_set(want)
+
+
+def test_alignment_invariant_empty(spark, transcripts_df, dictionary_df):
+    sents = sentencize(normalize_turns(transcripts_df))
+    spans = tag_mentions(sents, prepare_dictionary(dictionary_df))
+    assert validate_alignment(spans).count() == 0
+
+
+def test_triples_pr_against_golden(
+    spark, transcripts_df, dictionary_df, events_df, transcripts_pd, dictionary_pd, events_pd
+):
+    res = build_kg(transcripts_df, dictionary_df, events=events_df)
+    pred = set(
+        map(tuple, res.triples.select("subj", "pred", "obj").distinct().collect())
+    )
+    gold_df = oracle.golden_triples(transcripts_pd, dictionary_pd, events_pd)
+    gold = set(map(tuple, gold_df.itertuples(index=False, name=None)))
+    p, r = oracle.precision_recall(pred, gold)
+    assert p >= 0.95 and r >= 0.95, (
+        f"P={p:.4f} R={r:.4f}; pred-only={sorted(pred - gold)[:5]}, "
+        f"gold-only={sorted(gold - pred)[:5]}"
+    )
+    # deterministic engine vs deterministic oracle should in fact be exact
+    assert p == 1.0 and r == 1.0
+
+
+def test_graph_tables_consistent(spark, transcripts_df, dictionary_df):
+    res = build_kg(transcripts_df, dictionary_df)
+    n_nodes = res.nodes.count()
+    n_edges = res.edges.count()
+    assert n_nodes > 0 and n_edges > 0
+    # every edge endpoint is a node
+    missing = (
+        res.edges.select(F.col("src").alias("id"))
+        .union(res.edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(res.nodes, "id", "left_anti")
+    )
+    assert missing.count() == 0
+
+
+def test_clusters_match_union_find(spark, dictionary_df, dictionary_pd):
+    from otar3088_spark.operators.canonicalize import entity_clusters
+    from otar3088_spark.operators.tagging import prepare_dictionary as prep
+
+    got = {
+        (r.ent_id, r.cluster_id)
+        for r in entity_clusters(prep(dictionary_df)).collect()
+    }
+    want_map = oracle.entity_clusters(dictionary_pd)
+    # engine clusters only over the prepared (filtered) dictionary
+    kept = {r.ent_id for r in prep(dictionary_df).select("ent_id").distinct().collect()}
+    want = {(e, c) for e, c in want_map.items() if e in kept}
+    assert got == want

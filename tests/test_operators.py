@@ -1,0 +1,269 @@
+"""Unit tests for dedup / spans / inference / multimodal / sources / metrics /
+checkpoint operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "spark engines process completely different content"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs_df):
+    from otar3088_spark.operators.dedup import exact_dedup
+
+    out = {r["keep_id"]: r["group_size"] for r in exact_dedup(docs_df).collect()}
+    assert out[0] == 2  # docs 0,1 collapse
+    assert sum(out.values()) == 6
+
+
+def test_minhash_identical_docs_have_identical_sigs(spark, docs_df):
+    from otar3088_spark.operators.dedup import minhash_signatures
+
+    sigs = {r["id"]: tuple(r["sig"]) for r in minhash_signatures(docs_df, num_hashes=16).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_minhash_near_dups_finds_near_pair(spark, docs_df):
+    from otar3088_spark.operators.dedup import minhash_near_dups
+
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in minhash_near_dups(
+            docs_df, num_hashes=16, bands=8, shingle_k=2, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup recovered
+    assert all(not (a == 3 and b == 5) for a, b in pairs)
+
+
+def test_simhash_properties(spark, docs_df):
+    from otar3088_spark.operators.dedup import hamming_distance_expr, simhash
+
+    sh = simhash(docs_df)
+    vals = {r["id"]: r["simhash"] for r in sh.collect()}
+    assert vals[0] == vals[1]
+    a = sh.alias("a")
+    b = sh.alias("b")
+    d = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            hamming_distance_expr(F.col("a.simhash"), F.col("b.simhash")).alias("ham"),
+        )
+        .collect()
+    )
+    ham = {(r["id1"], r["id2"]): r["ham"] for r in d}
+    assert ham[(0, 1)] == 0
+    assert ham[(0, 2)] < ham[(0, 3)]  # near-dup closer than unrelated
+
+
+# ---------------------------------------------------------------- spans / IOB
+
+
+@pytest.fixture(scope="module")
+def sent_df(spark):
+    # sentence: tokens with known offsets
+    rows = [
+        ("c1", 0, 0, "HeLa cells grow fast here.", 0),
+        ("c1", 0, 1, "nothing to see.", 27),
+    ]
+    return spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "sent_idx", "sent_text", "char_start"]
+    )
+
+
+def test_spans_to_iob_and_back(spark, sent_df):
+    from otar3088_spark.operators.spans import filter_all_o, iob_to_spans, spans_to_iob
+
+    spans = spark.createDataFrame(
+        [("c1", 0, 0, 0, 10, "CellLine")],
+        ["conv_id", "turn_idx", "sent_idx", "start", "end", "label"],
+    )
+    iob = spans_to_iob(sent_df, spans)
+    rows = {(r["conv_id"], r["turn_idx"], r["sent_idx"]): (r["tokens"], r["tags"]) for r in iob.collect()}
+    toks, tags = rows[("c1", 0, 0)]
+    assert toks == ["HeLa", "cells", "grow", "fast", "here."]
+    assert tags == ["B-CellLine", "I-CellLine", "O", "O", "O"]
+    assert rows[("c1", 0, 1)][1] == ["O", "O", "O"]
+
+    kept = filter_all_o(iob)
+    assert kept.count() == 1
+
+    back = iob_to_spans(iob).collect()
+    assert len(back) == 1
+    assert back[0]["text"] == "HeLa cells" and back[0]["label"] == "CellLine"
+
+
+def test_assign_spans_to_sentences(spark, sent_df):
+    from otar3088_spark.operators.spans import assign_spans_to_sentences
+
+    doc_spans = spark.createDataFrame(
+        [
+            ("c1", 0, 0, 4, "X"),      # inside sentence 0
+            ("c1", 0, 27, 34, "Y"),    # inside sentence 1 -> reoffset 0..7
+            ("c1", 0, 20, 30, "Z"),    # straddles boundary -> dropped
+        ],
+        ["conv_id", "turn_idx", "start", "end", "label"],
+    )
+    out = assign_spans_to_sentences(doc_spans, sent_df).collect()
+    got = {(r["sent_idx"], r["start"], r["end"], r["label"]) for r in out}
+    assert got == {(0, 0, 4, "X"), (1, 0, 7, "Y")}
+
+
+def test_segment_turns_respects_entities(spark):
+    from otar3088_spark.operators.spans import segment_turns
+
+    text = ("word " * 120).strip()  # 599 chars
+    df = spark.createDataFrame([("c1", 0, text)], ["conv_id", "turn_idx", "clean_text"])
+    spans = spark.createDataFrame(
+        [("c1", 0, 495, 504, "X")], ["conv_id", "turn_idx", "start", "end", "label"]
+    )
+    segs = segment_turns(df, max_len=500, spans=spans).collect()
+    assert len(segs) >= 2
+    # entity 495..504 must be fully inside one segment
+    covered = [
+        s for s in segs if s["seg_start"] <= 495 and 504 <= s["seg_start"] + len(s["seg_text"])
+    ]
+    assert covered, f"entity cut across segments: {[(s['seg_start'], len(s['seg_text'])) for s in segs]}"
+    # and segments reassemble to the original text's tokens
+    joined = " ".join(s["seg_text"] for s in sorted(segs, key=lambda r: r["seg_idx"]))
+    assert joined.split() == text.split()
+
+
+# ---------------------------------------------------------------- inference
+
+
+def test_model_mentions_deterministic_and_merged(spark, sent_df):
+    from otar3088_spark.operators.inference import merge_mentions, model_mentions
+
+    m1 = model_mentions(sent_df).collect()
+    m2 = model_mentions(sent_df).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+    for r in m1:
+        assert r["surface"] == r["sent_text"][r["start"] : r["end"]] if "sent_text" in r else True
+
+    dict_spans = spark.createDataFrame(
+        [("c1", 0, 0, 0, 10, "HeLa cells", "CellLine")],
+        ["conv_id", "turn_idx", "sent_idx", "start", "end", "surface", "label"],
+    )
+    model_spans = model_mentions(sent_df)
+    merged = merge_mentions(dict_spans, model_spans)
+    src = {r["source"] for r in merged.collect()}
+    assert "dict" in src
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark):
+    from otar3088_spark.operators.multimodal import decode_and_featurize, frame_sample, synth_media
+
+    media = synth_media(spark, n=12)
+    feats = decode_and_featurize(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 8 for r in rows)
+    again = {r["media_id"]: r["feature"] for r in decode_and_featurize(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)  # deterministic
+    fs = frame_sample(feats, every_n=5)
+    vids = {r["media_id"]: r["n_frames"] for r in rows if r["kind"] == "video"}
+    got = fs.groupBy("media_id").count().collect()
+    for r in got:
+        expected = (vids[r["media_id"]] + 4) // 5
+        assert r["count"] == expected
+
+
+# ---------------------------------------------------------------- sources
+
+
+def test_conll_roundtrip(spark, tmp_path):
+    from otar3088_spark.operators.spans import iob_to_spans
+    from otar3088_spark.sources.conll import conll_lines, read_conll
+
+    p = tmp_path / "sample.conll"
+    p.write_text("HeLa\tB-CellLine\ncells\tI-CellLine\ngrow\tO\n\nfine\tO\n")
+    df = read_conll(spark, str(p))
+    rows = sorted(df.collect(), key=lambda r: r["sent_id"])
+    assert rows[0]["tokens"] == ["HeLa", "cells", "grow"]
+    assert rows[0]["tags"] == ["B-CellLine", "I-CellLine", "O"]
+    assert rows[1]["tokens"] == ["fine"]
+
+    lines = conll_lines(df.withColumnRenamed("sent_id", "sent_idx")).collect()
+    assert any("HeLa\tB-CellLine" in r["value"] for r in lines)
+
+
+def test_brat_reader(spark, tmp_path):
+    from otar3088_spark.sources.brat import read_brat
+
+    (tmp_path / "doc1.txt").write_text("HeLa cells grow")
+    (tmp_path / "doc1.ann").write_text(
+        "T1\tCellLine 0 10\tHeLa cells\nT2\tTissue 0 4;11 15\tHeLa grow\n"
+    )
+    docs, anns = read_brat(spark, str(tmp_path))
+    assert docs.collect()[0]["doc_id"] == "doc1"
+    a = {r["ann_id"]: (r["label"], r["start"], r["end"], r["term"]) for r in anns.collect()}
+    assert a["T1"] == ("CellLine", 0, 10, "HeLa cells")
+    assert a["T2"] == ("Tissue", 0, 15, "HeLa grow")  # discontinuous collapsed
+
+
+# ---------------------------------------------------------------- metrics
+
+
+def test_span_and_triple_prf(spark):
+    from otar3088_spark.operators.metrics import span_prf_exact, triple_prf
+
+    cols = ["conv_id", "turn_idx", "sent_idx", "start", "end", "label"]
+    gold = spark.createDataFrame(
+        [("c", 0, 0, 0, 4, "X"), ("c", 0, 0, 6, 9, "Y")], cols
+    )
+    pred = spark.createDataFrame(
+        [("c", 0, 0, 0, 4, "X"), ("c", 0, 0, 10, 12, "Z")], cols
+    )
+    m = span_prf_exact(pred, gold).collect()[0]
+    assert m["precision"] == 0.5 and m["recall"] == 0.5
+
+    t_gold = spark.createDataFrame([("a", "p", "b"), ("c", "p", "d")], ["subj", "pred", "obj"])
+    t_pred = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    tm = triple_prf(t_pred, t_gold).collect()[0]
+    assert tm["precision"] == 1.0 and tm["recall"] == 0.5
+
+
+# ---------------------------------------------------------------- checkpoint
+
+
+def test_snapshot_resume(spark, tmp_path):
+    from otar3088_spark.io.checkpoint import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(10).withColumn("v", F.col("id") * 2)
+
+    df1 = store.get_or_compute(spark, "stage1", compute)
+    assert df1.count() == 10 and calls["n"] == 1
+    df2 = store.get_or_compute(spark, "stage1", compute)
+    assert df2.count() == 10 and calls["n"] == 1  # resumed, not recomputed
+    man = store.manifest("stage1")
+    assert man["total_rows"] == 10
+    assert sum(p["rows"] for p in man["partition_lineage"]) == 10
