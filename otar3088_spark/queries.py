@@ -449,6 +449,87 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle — non-SQL-expressible ops; correctness is
+# covered by the pytest pandas-oracle differential suite instead)
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection over documents (dedup op #2);
+    xxhash64 signatures are not reproducible in DuckDB -> rows-only check."""
+    from otar3088_spark.operators.dedup import minhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dups(
+        d, num_hashes=32, bands=8, shingle_k=2, threshold=0.5
+    ).orderBy("id1", "id2")
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + 8-bit prefix buckets (dedup op #3)."""
+    from otar3088_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    sh = simhash(d)
+    return sh.select(
+        F.col("id").alias("doc_id"),
+        F.col("simhash"),
+        F.shiftrightunsigned(F.col("simhash"), 56).alias("bucket"),
+    )
+
+
+def q_model_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in transformer inference via mapInPandas (M1) over
+    documents-as-sentences; per-executor model singleton, Arrow batches."""
+    from otar3088_spark.operators.inference import model_mentions
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.col("text").alias("sent_text"),
+    )
+    return model_mentions(d).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "start", "end", "surface", "label", "score",
+    )
+
+
+def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span->IOB->span round-trip over tagged documents (J9/F12 + W5 merge):
+    returns merged spans re-derived from IOB tags."""
+    from otar3088_spark.operators.spans import iob_to_spans, spans_to_iob
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.col("text").alias("sent_text"),
+    )
+    spans = q_term_tagging(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        "start", "end", "label",
+    )
+    iob = spans_to_iob(d, spans)
+    return iob_to_spans(iob).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "start_pos", "end_pos", "text", "label",
+    )
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship KG pipeline on the deterministic synthetic transcript corpus
+    (sf_dir-independent input; pytest golden oracle covers correctness)."""
+    from otar3088_spark.plans.kg_pipeline import build_kg
+    from otar3088_spark.synth import entity_dictionary_pandas, transcripts_pandas
+
+    transcripts = spark.createDataFrame(transcripts_pandas(n_convs=40))
+    dictionary = spark.createDataFrame(entity_dictionary_pandas())
+    return build_kg(transcripts, dictionary, persist_spans=False).triples
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -473,4 +554,10 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "connected_components": q_connected_components,
+    # rows-only (no SQL oracle; pytest differential coverage)
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_buckets": q_simhash_buckets,
+    "model_mentions": q_model_mentions,
+    "iob_roundtrip": q_iob_roundtrip,
+    "kg_triples": q_kg_triples,
 }
