@@ -37,6 +37,13 @@ def run_bench(cores: int, sf_dir: str, kg_turns: int, only: str | None = None) -
     spark = get_spark(app_name=f"otar3088-bench-{cores}", cores=cores)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # warm-up: JVM/codegen/parquet-footer costs out of the first timed query
+    from pyspark.sql import functions as F
+
+    spark.range(1000).groupBy((F.col("id") % 10).alias("g")).count().count()
+    for t in ("lineitem", "documents", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+
     timings: dict[str, float] = {}
 
     if only in (None, "queries"):

@@ -88,79 +88,91 @@ def tag_mentions(sentences: DataFrame, dictionary: DataFrame) -> DataFrame:
     """
     tok = tokenize_sentences(sentences)
 
-    # --- anchor pre-pruning -------------------------------------------------
-    # The dictionary's distinct first tokens are a tiny set (it is a broadcast
-    # dim by design); embedding them as a literal IN-set prunes anchor
-    # candidates BEFORE the explode, cutting the exploded row count by the
-    # token hit-rate (~10-30x) — the explode duplicates the per-sentence
-    # arrays, so this is the dominant cost lever. For dictionaries too large
-    # to collect, drop this pre-filter: the broadcast join below is unchanged.
-    firsts = sorted(
-        r["first_tok"] for r in dictionary.select("first_tok").distinct().collect()
-    )
+    # --- plan-time dictionary stats -----------------------------------------
+    # The dictionary is a broadcast dim by design, so collecting its distinct
+    # first tokens (anchor IN-set) and its max term length (window width) at
+    # plan time is legitimate driver work. For dictionaries too large to
+    # collect, drop the IN-set pre-filter; the broadcast join is unchanged.
+    stats = dictionary.agg(
+        F.collect_set("first_tok").alias("firsts"), F.max("n").alias("max_n")
+    ).collect()[0]
+    firsts, max_n = sorted(stats["firsts"]), int(stats["max_n"] or 1)
 
+    # Anchor candidates: (pos, key, variant) plus FIXED-WIDTH windows (max_n
+    # elements) of the per-token arrays. Carrying windows instead of the full
+    # sentence arrays keeps the exploded row size O(max_n) regardless of
+    # sentence length — on long documents this is the difference between a
+    # narrow stage and a multi-GB row explosion. 'ds' implements the
+    # boundary-regex plural/possessive suffix and is only legal when it lands
+    # on the term's LAST token (for n==1 the anchor IS the last token).
     def _cand_at(i):
         k_exact = F.try_element_at(F.col("keys"), i + 1)
         k_ds = F.try_element_at(F.col("keys_ds"), i + 1)
+        win = [
+            F.slice(F.col("keys"), i + 1, max_n).alias("wk"),
+            F.slice(F.col("keys_ds"), i + 1, max_n).alias("wds"),
+            F.slice(F.col("starts"), i + 1, max_n).alias("wst"),
+            F.slice(F.col("leads"), i + 1, max_n).alias("wld"),
+            F.slice(F.col("cores"), i + 1, max_n).alias("wco"),
+            F.slice(F.col("toks"), i + 1, max_n).alias("wtk"),
+        ]
         return F.filter(
             F.array(
-                F.struct(i.alias("pos0"), k_exact.alias("k"), F.lit("exact").alias("v")),
-                F.struct(i.alias("pos0"), k_ds.alias("k"), F.lit("ds").alias("v")),
+                F.struct(k_exact.alias("k"), F.lit("exact").alias("v"), *win),
+                F.struct(k_ds.alias("k"), F.lit("ds").alias("v"), *win),
             ),
             lambda c: c["k"].isNotNull() & c["k"].isin(firsts),
         )
 
-    # Anchor candidates: (pos, key, variant). 'ds' implements the boundary-
-    # regex plural/possessive suffix and is only legal when it lands on the
-    # term's LAST token (for n==1 the anchor IS the last token).
     cands = F.flatten(
         F.transform(F.sequence(F.lit(0), F.size("keys") - 1), _cand_at)
     )
-    exploded = (
-        tok.select(
-            "conv_id",
-            "turn_idx",
-            "sent_idx",
-            "sent_text",
-            "starts",
-            "cores",
-            "leads",
-            "keys",
-            "keys_ds",
-            F.explode(cands).alias("c"),
-        )
-        .withColumn("pos0", F.col("c")["pos0"])
-        .withColumn("anchor_key", F.col("c")["k"])
-        .withColumn("variant", F.col("c")["v"])
-        .drop("c")
+    exploded = tok.select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        "sent_text",
+        F.explode(cands).alias("c"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        "sent_text",
+        F.col("c")["k"].alias("anchor_key"),
+        F.col("c")["v"].alias("variant"),
+        F.col("c")["wk"].alias("wk"),
+        F.col("c")["wds"].alias("wds"),
+        F.col("c")["wst"].alias("wst"),
+        F.col("c")["wld"].alias("wld"),
+        F.col("c")["wco"].alias("wco"),
     )
 
     d = F.broadcast(dictionary)
     j = exploded.join(d, exploded["anchor_key"] == d["first_tok"], "inner")
 
-    n, pos0 = F.col("n"), F.col("pos0")
-    in_bounds = (pos0 + n) <= F.size("keys")
+    n = F.col("n")
+    in_bounds = n <= F.size("wk")
     # Catalyst may reorder conjuncts, so every indexed access must be
     # try_* / length-clamped rather than relying on short-circuit order.
     mid_len = F.greatest(n - 2, F.lit(0))
     mid_ok = (n <= 2) | (
-        F.slice(F.col("keys"), pos0 + 2, mid_len) == F.slice(F.col("term_tokens"), 2, mid_len)
+        F.slice(F.col("wk"), 2, mid_len) == F.slice(F.col("term_tokens"), 2, mid_len)
     )
     last_dict = F.element_at("term_tokens", n)
     last_ok = (
-        (F.try_element_at(F.col("keys"), pos0 + n) == last_dict)
-        | (F.coalesce(F.try_element_at(F.col("keys_ds"), pos0 + n), F.lit("")) == last_dict)
+        (F.try_element_at(F.col("wk"), n) == last_dict)
+        | (F.coalesce(F.try_element_at(F.col("wds"), n), F.lit("")) == last_dict)
     )
     match = F.when(n == 1, F.lit(True)).otherwise(
         (F.col("variant") == "exact") & in_bounds & mid_ok & last_ok
     )
     j = j.filter(match)
 
-    start = F.try_element_at(F.col("starts"), pos0 + 1) + F.try_element_at(F.col("leads"), pos0 + 1)
+    start = F.element_at("wst", 1) + F.element_at("wld", 1)
     end = (
-        F.try_element_at(F.col("starts"), pos0 + n)
-        + F.try_element_at(F.col("leads"), pos0 + n)
-        + F.length(F.try_element_at(F.col("cores"), pos0 + n))
+        F.try_element_at(F.col("wst"), n)
+        + F.try_element_at(F.col("wld"), n)
+        + F.length(F.try_element_at(F.col("wco"), n))
     )
     spans = j.select(
         "conv_id",

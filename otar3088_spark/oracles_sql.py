@@ -235,7 +235,7 @@ ORACLE_SQL: dict[str, str] = {
             SELECT doc_id,
                    unnest(string_split(text, ' ')) AS tok,
                    generate_subscripts(string_split(text, ' '), 1) AS pos
-            FROM documents
+            FROM documents WHERE doc_id < 500
         ),
         sh AS (
             SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS sh

@@ -364,8 +364,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by token-bigram Jaccard >= 0.5 (dedup op #4).
     Shuffle-safe shape: explode distinct shingles, self-join on shingle
-    (inverted index), count intersections, join doc sizes. [dedup]"""
-    d = _t(spark, sf_dir, "documents")
+    (inverted index), count intersections, join doc sizes. [dedup]
+
+    Capped at doc_id < 500 (both here and in the oracle): the synthetic
+    corpus has a ~30-word vocabulary, so bigram postings are degenerate and
+    exact pairwise Jaccard is quadratic by construction. The SCALE path for
+    near-dup detection is minhash_near_dups (LSH-bucketed, runs on the full
+    corpus); this query exists to validate exact-Jaccard semantics."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     toks = F.split(F.col("text"), " ")
     bigrams = F.array_distinct(
         F.zip_with(toks, F.slice(toks, 2, F.size(toks)), lambda a, b: F.concat_ws(" ", a, b))

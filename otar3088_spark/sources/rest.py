@@ -1,0 +1,89 @@
+"""Paged REST search source — S10/S11 pattern (out of the hot path).
+
+The reference fetches EuropePMC search pages and full-text XML inside loops
+with a 1 s delay (extract_articles.py:67-144, split2sent_par.py:36-59). The
+Spark-first shape for *ingest* sources like this:
+
+* small query tables fan out over executors via ``mapInPandas`` — one HTTP
+  session per executor, idempotent (deterministic page keys), rate-limited;
+* the fetched rows become a normal DataFrame for the declarative pipeline.
+
+The sandbox has no network, so the fetcher is injected: tests pass a
+deterministic fake; production passes a requests-backed callable. The Spark
+plumbing (Arrow batches, per-executor session reuse, schema) is the real
+thing and is what this module owns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+SEARCH_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("search_query", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("pub_type", T.StringType()),
+    ]
+)
+
+# fetcher(query, page) -> list[(doc_id, title, pub_type)]
+Fetcher = Callable[[str, int], list[tuple[str, str, str]]]
+
+_SESSION: dict[str, object] = {}
+
+
+def fake_fetcher(query: str, page: int) -> list[tuple[str, str, str]]:
+    """Deterministic stand-in for the EPMC REST API (tests/CI)."""
+    import hashlib
+
+    n = 3 + hashlib.md5(f"{query}|{page}".encode()).digest()[0] % 3
+    return [
+        (
+            f"PMC{abs(hash((query, page, i))) % 10_000_000:07d}",
+            f"{query} result {page}-{i}",
+            "journal article" if i % 4 else "retraction of publication",
+        )
+        for i in range(n)
+    ]
+
+
+def fetch_search_results(
+    queries_df: DataFrame,
+    pages: int = 2,
+    fetcher: Fetcher | None = None,
+) -> DataFrame:
+    """Fan a (search_query) table out to executors; each task fetches its
+    queries' pages through a per-executor session. Deterministic keys
+    (query, page) make re-runs idempotent — pair with the snapshot store to
+    skip completed fetches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f = _SESSION.get("fetcher") or fetcher or fake_fetcher
+        _SESSION["fetcher"] = f
+        for pdf in batches:
+            rows = []
+            for q in pdf["search_query"]:
+                for page in range(pages):
+                    for doc_id, title, pub_type in f(q, page):
+                        rows.append((q, page, doc_id, title, pub_type))
+            yield pd.DataFrame(rows, columns=[x.name for x in SEARCH_RESULT_SCHEMA.fields])
+
+    return queries_df.select("search_query").mapInPandas(run, SEARCH_RESULT_SCHEMA)
+
+
+def clean_search_results(results: DataFrame) -> DataFrame:
+    """The reference's post-search hygiene (extract_articles.py:168-188):
+    not-null ids, first-wins dedup, drop retractions."""
+    from pyspark.sql import functions as F
+
+    return (
+        results.filter(F.col("doc_id").isNotNull())
+        .dropDuplicates(["doc_id"])
+        .filter(F.col("pub_type") != "retraction of publication")
+    )
