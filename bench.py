@@ -62,10 +62,13 @@ def run_bench(cores: int, sf_dir: str, kg_turns: int, only: str | None = None) -
         dictionary = spark.createDataFrame(entity_dictionary_pandas())
         transcripts = transcripts_spark(spark, kg_turns)
         t0 = time.perf_counter()
-        res = build_kg(transcripts, dictionary, salt_partitions=cores * 2)
+        # persist off: in this linear bench DAG every stage has exactly one
+        # consumer, so caching is pure overhead (write amplification)
+        res = build_kg(
+            transcripts, dictionary, salt_partitions=cores * 2, persist_spans=False
+        )
         n_triples = res.triples.count()
         kg_sec = time.perf_counter() - t0
-        res.spans.unpersist()
         kg = {
             "kg_turns": kg_turns,
             "kg_sec": round(kg_sec, 3),

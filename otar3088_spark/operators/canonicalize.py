@@ -63,17 +63,19 @@ def resolve_labels(spans: DataFrame) -> DataFrame:
         F.broadcast(winners), "term_key", "left"
     )
     # keep only spans whose dictionary row carries the winning label;
-    # tie-break multiple ent_ids per (span, label) by min ent_id.
-    from pyspark.sql.window import Window as W2
-
+    # tie-break multiple ent_ids per (span, label) by min ent_id. min_by
+    # aggregates with map-side partial combine — no row_number sort over the
+    # full span table (which would be the dominant shuffle at scale).
     out = out.filter(F.col("label") == F.col("resolved_label"))
-    w2 = W2.partitionBy(
-        "conv_id", "turn_idx", "sent_idx", "start", "end", "label"
-    ).orderBy("ent_id")
     return (
-        out.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "resolved_label")
+        out.groupBy(
+            "conv_id", "turn_idx", "sent_idx", "start", "end", "label", "term_key"
+        )
+        .agg(
+            F.min("ent_id").alias("ent_id"),
+            F.min_by("term", "ent_id").alias("term"),
+            F.min_by("surface", "ent_id").alias("surface"),
+        )
     )
 
 
@@ -101,19 +103,47 @@ def alias_edges(dictionary: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20
+    edges: DataFrame, max_iter: int = 20, small_graph_threshold: int = 100_000
 ) -> DataFrame:
-    """Min-label propagation CC over ``edges(src, dst)`` -> ``(node, component)``.
+    """Min-label propagation + pointer jumping over ``edges(src, dst)`` ->
+    ``(node, component)``.
 
-    Each round: component(node) = min(component(node), min over neighbors).
-    Stops when no component changes (or ``max_iter``). ``localCheckpoint``
-    truncates the lineage so plans stay O(1) per round. Shuffles hash on
-    ``node``; AQE splits skewed hubs.
+    Each round does (a) component(node) = min over neighbors' components and
+    own, then (b) one path-halving step component(node) =
+    component(component(node)) — the pointer jump makes labels hop 2^k-style
+    along chains, so convergence is O(log diameter) rounds instead of
+    O(diameter). ``localCheckpoint`` truncates lineage each round; shuffles
+    hash on ``node``; AQE splits skewed hubs. For adversarial giant
+    components swap in full large-star/small-star — same loop skeleton.
     """
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
+
+    # Small-graph fast path: dictionary-derived alias graphs are broadcast-
+    # scale (the dim table fits on the driver by design). The iterative loop
+    # costs O(rounds) serial Spark jobs — pure fixed overhead for a graph
+    # this size — so collect + union-find and return. The DataFrame loop
+    # below is the path for data-scale graphs (mention co-occurrence etc.).
+    n_edges = sym.count()
+    if n_edges <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        rows = sym.collect()
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = sorted({(n, find(n)) for n in parent})
+        spark = edges.sparkSession
+        return spark.createDataFrame(out, ["node", "component"])
 
     comps = (
         sym.select(F.col("src").alias("node"))
@@ -127,21 +157,39 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("nbr_comp"))
         )
-        new_comps = (
+        stepped = (
             comps.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
-                (F.coalesce(F.col("nbr_comp"), F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
             )
         )
-        new_comps = new_comps.localCheckpoint(eager=True)
-        changed = new_comps.filter(F.col("_changed")).limit(1).count()
-        comps = new_comps.drop("_changed")
+        # pointer jump: component := component(component)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        jumped = (
+            stepped.join(parent, stepped["component"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # change detection against the previous assignment (one join, same
+        # action that materializes the checkpoint)
+        prev = comps.select(F.col("node").alias("c_node"), F.col("component").alias("c_comp"))
+        flagged = jumped.join(prev, jumped["node"] == prev["c_node"]).select(
+            "node",
+            "component",
+            (F.col("component") < F.col("c_comp")).alias("_changed"),
+        )
+        flagged = flagged.localCheckpoint(eager=True)
+        changed = flagged.filter(F.col("_changed")).limit(1).count()
+        comps = flagged.drop("_changed")
         if changed == 0:
             break
     return comps

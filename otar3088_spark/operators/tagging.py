@@ -131,13 +131,11 @@ def tag_mentions(sentences: DataFrame, dictionary: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
         "sent_idx",
-        "sent_text",
         F.explode(cands).alias("c"),
     ).select(
         "conv_id",
         "turn_idx",
         "sent_idx",
-        "sent_text",
         F.col("c")["k"].alias("anchor_key"),
         F.col("c")["v"].alias("variant"),
         F.col("c")["wk"].alias("wk"),
@@ -145,6 +143,7 @@ def tag_mentions(sentences: DataFrame, dictionary: DataFrame) -> DataFrame:
         F.col("c")["wst"].alias("wst"),
         F.col("c")["wld"].alias("wld"),
         F.col("c")["wco"].alias("wco"),
+        F.col("c")["wtk"].alias("wtk"),
     )
 
     d = F.broadcast(dictionary)
@@ -174,19 +173,30 @@ def tag_mentions(sentences: DataFrame, dictionary: DataFrame) -> DataFrame:
         + F.try_element_at(F.col("wld"), n)
         + F.length(F.try_element_at(F.col("wco"), n))
     )
-    spans = j.select(
-        "conv_id",
-        "turn_idx",
-        "sent_idx",
-        "sent_text",
-        start.cast("int").alias("start"),
-        end.cast("int").alias("end"),
-        "term",
-        "label",
-        "ent_id",
-    ).withColumn(
-        "surface",
-        F.expr("substring(sent_text, start + 1, end - start)"),
+    # surface is reconstructed from the token window (tokens joined by the
+    # single spaces guaranteed by clean_text) instead of substring-ing the
+    # sentence text — this keeps sent_text out of the exploded rows AND out
+    # of the span shuffle payload entirely. substring equality vs the turn
+    # text still holds by construction (validate_alignment re-checks it).
+    joined_window = F.concat_ws(" ", F.slice(F.col("wtk"), 1, n))
+    surface = F.expr(
+        "substring(_joined, element_at(wld, 1) + 1, _end - _start)"
+    )
+    spans = (
+        j.withColumn("_joined", joined_window)
+        .withColumn("_start", start.cast("int"))
+        .withColumn("_end", end.cast("int"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "sent_idx",
+            F.col("_start").alias("start"),
+            F.col("_end").alias("end"),
+            "term",
+            "label",
+            "ent_id",
+            surface.alias("surface"),
+        )
     )
     # Exact-duplicate dedup happens inside drop_contained (array_distinct on
     # the per-sentence array) — one shuffle covers both dedup and containment.
@@ -204,7 +214,7 @@ def drop_contained(spans: DataFrame) -> DataFrame:
     tagging DAG a second time. Spans-per-sentence is bounded (~10), so the
     O(k²) per-row check is constant work.
     """
-    payload = F.struct("start", "end", "term", "label", "ent_id", "surface", "sent_text")
+    payload = F.struct("start", "end", "term", "label", "ent_id", "surface")
     g = spans.groupBy("conv_id", "turn_idx", "sent_idx").agg(
         F.array_distinct(F.collect_list(payload)).alias("arr")
     )
@@ -223,7 +233,6 @@ def drop_contained(spans: DataFrame) -> DataFrame:
             "conv_id",
             "turn_idx",
             "sent_idx",
-            F.col("s")["sent_text"].alias("sent_text"),
             F.col("s")["start"].alias("start"),
             F.col("s")["end"].alias("end"),
             F.col("s")["term"].alias("term"),

@@ -78,10 +78,19 @@ def build_kg(
     )
 
 
-def validate_alignment(spans: DataFrame) -> DataFrame:
+def validate_alignment(spans: DataFrame, sentences: DataFrame) -> DataFrame:
     """F16 invariant check as a DataFrame: rows violating
     ``substring(sent_text, start+1, end-start) == surface`` (must be empty).
-    Mirrors article_normaliser.py:285-324's bounds/text validation."""
-    return spans.filter(
-        F.expr("substring(sent_text, start + 1, end - start)") != F.col("surface")
+    Mirrors article_normaliser.py:285-324's bounds/text validation. Spans
+    deliberately do not carry sentence text (shuffle-payload hygiene), so the
+    check re-joins the sentence table on the stable key — which also makes it
+    a genuine cross-check of offset construction, not a tautology."""
+    j = spans.join(
+        sentences.select("conv_id", "turn_idx", "sent_idx", "sent_text"),
+        ["conv_id", "turn_idx", "sent_idx"],
+        "left",
+    )
+    return j.filter(
+        F.col("sent_text").isNull()
+        | (F.expr("substring(sent_text, start + 1, end - start)") != F.col("surface"))
     )

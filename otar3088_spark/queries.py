@@ -448,7 +448,11 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").cast("string").alias("src"),
         F.col("b.doc_id").cast("string").alias("dst"),
     )
-    comps = connected_components(edges, max_iter=50)
+    # force the distributed iterative path (small_graph_threshold=0) — this
+    # query exists to verify min-label propagation + pointer jumping against
+    # the DuckDB recursive-CTE oracle; the driver-side union-find fast path
+    # is covered by the KG pipeline's dictionary clusters.
+    comps = connected_components(edges, max_iter=50, small_graph_threshold=0)
     return comps.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("component"),

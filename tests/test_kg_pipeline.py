@@ -82,7 +82,7 @@ def test_tagging_matches_oracle(spark, transcripts_df, dictionary_df, transcript
 def test_alignment_invariant_empty(spark, transcripts_df, dictionary_df):
     sents = sentencize(normalize_turns(transcripts_df))
     spans = tag_mentions(sents, prepare_dictionary(dictionary_df))
-    assert validate_alignment(spans).count() == 0
+    assert validate_alignment(spans, sents).count() == 0
 
 
 def test_triples_pr_against_golden(

@@ -131,3 +131,33 @@ def test_csv_and_jsonl_scans(spark, tmp_path):
         ).alias("x")
     ).collect()[0]
     assert inner["x"] == "1"
+
+
+def test_augment_with_gazetteer(spark):
+    from otar3088_spark.operators.augment import augment_with_gazetteer
+
+    rows = [
+        (f"c{i}", 0, 0, ["drugA", "helps", "patients"], ["B-Drug", "O", "O"])
+        for i in range(40)
+    ]
+    iob = spark.createDataFrame(rows, ["conv_id", "turn_idx", "sent_idx", "tokens", "tags"])
+    gaz = spark.createDataFrame(
+        [("Drug", ["aspirin", "ibuprofen forte"])], ["label", "entities"]
+    )
+    out = augment_with_gazetteer(iob, gaz, p_swap=0.5, seed=7)
+    rows1 = {r["conv_id"]: (r["tokens"], r["tags"], r["augmented"]) for r in out.collect()}
+    n_aug = sum(1 for v in rows1.values() if v[2])
+    assert 5 < n_aug < 35  # ~50% selected, deterministic
+    for toks, tags, aug in rows1.values():
+        assert len(toks) == len(tags)
+        if aug:
+            assert tags[0] == "B-Drug"
+            assert toks[:1] != ["drugA"] or len(toks) != 3  # entity swapped
+            if len(toks) == 4:  # multi-token replacement
+                assert tags[:2] == ["B-Drug", "I-Drug"]
+        else:
+            assert toks == ["drugA", "helps", "patients"]
+    # deterministic re-run
+    rows2 = {r["conv_id"]: (r["tokens"], r["tags"], r["augmented"]) for r in
+             augment_with_gazetteer(iob, gaz, p_swap=0.5, seed=7).collect()}
+    assert rows1 == rows2
