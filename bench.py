@@ -61,11 +61,13 @@ def run_bench(cores: int, sf_dir: str, kg_turns: int, only: str | None = None) -
 
         dictionary = spark.createDataFrame(entity_dictionary_pandas())
         transcripts = transcripts_spark(spark, kg_turns)
+        import tempfile
+
+        staging_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        staging = tempfile.mkdtemp(prefix="kg_staging_", dir=staging_root)
         t0 = time.perf_counter()
-        # persist off: in this linear bench DAG every stage has exactly one
-        # consumer, so caching is pure overhead (write amplification)
         res = build_kg(
-            transcripts, dictionary, salt_partitions=cores * 2, persist_spans=False
+            transcripts, dictionary, salt_partitions=cores * 2, staging_dir=staging
         )
         n_triples = res.triples.count()
         kg_sec = time.perf_counter() - t0

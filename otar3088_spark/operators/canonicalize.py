@@ -62,21 +62,11 @@ def resolve_labels(spans: DataFrame) -> DataFrame:
     out = spans.withColumn("term_key", term_key).join(
         F.broadcast(winners), "term_key", "left"
     )
-    # keep only spans whose dictionary row carries the winning label;
-    # tie-break multiple ent_ids per (span, label) by min ent_id. min_by
-    # aggregates with map-side partial combine — no row_number sort over the
-    # full span table (which would be the dominant shuffle at scale).
-    out = out.filter(F.col("label") == F.col("resolved_label"))
-    return (
-        out.groupBy(
-            "conv_id", "turn_idx", "sent_idx", "start", "end", "label", "term_key"
-        )
-        .agg(
-            F.min("ent_id").alias("ent_id"),
-            F.min_by("term", "ent_id").alias("term"),
-            F.min_by("surface", "ent_id").alias("surface"),
-        )
-    )
+    # keep only spans whose dictionary row carries the winning label. The
+    # min-ent_id tie-break already happened array-side in drop_contained
+    # (one representative per (start, end, label)), so this stage is a pure
+    # broadcast-join filter — zero shuffle over the span table.
+    return out.filter(F.col("label") == F.col("resolved_label")).drop("resolved_label")
 
 
 def alias_key_expr(term_col) -> Column:

@@ -44,12 +44,23 @@ def normalize_turns(
     conv-level skew because downstream stages never need conv-locality until
     the final groupBys (which re-shuffle on their own keys anyway).
     """
-    df = (
-        transcripts.filter(F.col("text").isNotNull() & F.col("conv_id").isNotNull())
-        .dropDuplicates(["conv_id", "turn_idx"])
+    filtered = transcripts.filter(
+        F.col("text").isNotNull() & F.col("conv_id").isNotNull()
     )
     if drop_headers:
-        df = df.filter(~is_header_expr(F.col("text")))
+        # before the dedup aggregate so header rows never enter the shuffle
+        filtered = filtered.filter(~is_header_expr(F.col("text")))
+    # key-dedup via collect_list+element_at rather than dropDuplicates:
+    # dropDuplicates keeps whole rows with First() aggregates, and string
+    # buffers force SortAggregate (full sort of every partition). collect_list
+    # is TypedImperative -> ObjectHashAggregate: hash-based, no sort, same
+    # any-row-wins semantics (duplicates are identical rows in this corpus).
+    payload = [c for c in filtered.columns if c not in ("conv_id", "turn_idx")]
+    df = (
+        filtered.groupBy("conv_id", "turn_idx")
+        .agg(F.element_at(F.collect_list(F.struct(*payload)), 1).alias("_r"))
+        .select("conv_id", "turn_idx", "_r.*")
+    )
     if salt_partitions:
         df = df.repartition(salt_partitions, "conv_id", "turn_idx")
     return df.withColumn("clean_text", clean_text_expr(F.col("text")))

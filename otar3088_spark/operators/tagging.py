@@ -16,7 +16,8 @@ declarative join:
      matches per token instead of |dict| regex scans per sentence);
   4. validate the full n-token window with ``slice`` equality — still pure
      Catalyst expressions;
-  5. longest-match containment dedup via a partition-local anti self-join.
+  5. longest-match containment dedup via a per-sentence array filter (one
+     groupBy, no recomputation of the upstream DAG).
 
 Zero Python anywhere; the dictionary side is explicitly ``F.broadcast`` so
 skewed head entities ("HeLa"-type, cell_line_papers.py:56) never shuffle.
@@ -38,7 +39,7 @@ from otar3088_spark.functions.text import (
 
 # P7 red-list: Anatomy terms with these suffixes are dictionary noise
 # (cellfinder_clean.ipynb cell 8).
-REDLIST_SUFFIX = r"(genesis|cytic|ial|yal)$"
+REDLIST_SUFFIX = r"(?:genesis|cytic|ial|yal)$"
 
 
 def prepare_dictionary(dict_df: DataFrame) -> DataFrame:
@@ -69,6 +70,9 @@ def tokenize_sentences(sentences: DataFrame) -> DataFrame:
     token, ``cores`` punctuation-stripped tokens, ``leads`` leading-strip
     widths, ``keys`` lowercase match keys, ``keys_ds`` destemmed keys (NULL
     where no plural/possessive suffix applies).
+
+    Used by IOB conversion (spans_to_iob); the tagging hot path below builds
+    leaner per-token projections instead (allocation-bandwidth matters there).
     """
     df = sentences.withColumn("toks", F.split(F.col("sent_text"), " "))
     df = df.withColumn("starts", offsets_expr(F.col("toks")))
@@ -86,116 +90,117 @@ def tag_mentions(sentences: DataFrame, dictionary: DataFrame) -> DataFrame:
     ``substring(sent_text, start+1, end-start) == surface``
     (article_normaliser.py:285-324 alignment check, enforced downstream).
     """
-    tok = tokenize_sentences(sentences)
-
     # --- plan-time dictionary stats -----------------------------------------
     # The dictionary is a broadcast dim by design, so collecting its distinct
-    # first tokens (anchor IN-set) and its max term length (window width) at
-    # plan time is legitimate driver work. For dictionaries too large to
-    # collect, drop the IN-set pre-filter; the broadcast join is unchanged.
-    stats = dictionary.agg(
-        F.collect_set("first_tok").alias("firsts"), F.max("n").alias("max_n")
-    ).collect()[0]
-    firsts, max_n = sorted(stats["firsts"]), int(stats["max_n"] or 1)
-
-    # Anchor candidates: (pos, key, variant) plus FIXED-WIDTH windows (max_n
-    # elements) of the per-token arrays. Carrying windows instead of the full
-    # sentence arrays keeps the exploded row size O(max_n) regardless of
-    # sentence length — on long documents this is the difference between a
-    # narrow stage and a multi-GB row explosion. 'ds' implements the
-    # boundary-regex plural/possessive suffix and is only legal when it lands
-    # on the term's LAST token (for n==1 the anchor IS the last token).
-    def _cand_at(i):
-        k_exact = F.try_element_at(F.col("keys"), i + 1)
-        k_ds = F.try_element_at(F.col("keys_ds"), i + 1)
-        win = [
-            F.slice(F.col("keys"), i + 1, max_n).alias("wk"),
-            F.slice(F.col("keys_ds"), i + 1, max_n).alias("wds"),
-            F.slice(F.col("starts"), i + 1, max_n).alias("wst"),
-            F.slice(F.col("leads"), i + 1, max_n).alias("wld"),
-            F.slice(F.col("cores"), i + 1, max_n).alias("wco"),
-            F.slice(F.col("toks"), i + 1, max_n).alias("wtk"),
-        ]
-        return F.filter(
-            F.array(
-                F.struct(k_exact.alias("k"), F.lit("exact").alias("v"), *win),
-                F.struct(k_ds.alias("k"), F.lit("ds").alias("v"), *win),
-            ),
-            lambda c: c["k"].isNotNull() & c["k"].isin(firsts),
-        )
-
-    cands = F.flatten(
-        F.transform(F.sequence(F.lit(0), F.size("keys") - 1), _cand_at)
+    # first tokens (anchor IN-set) at plan time is legitimate driver work.
+    # For dictionaries too large to collect, drop the IN-set pre-filter; the
+    # broadcast join below is unchanged.
+    firsts = sorted(
+        r["first_tok"] for r in dictionary.select("first_tok").distinct().collect()
     )
-    exploded = tok.select(
-        "conv_id",
-        "turn_idx",
-        "sent_idx",
-        F.explode(cands).alias("c"),
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "sent_idx",
-        F.col("c")["k"].alias("anchor_key"),
-        F.col("c")["v"].alias("variant"),
-        F.col("c")["wk"].alias("wk"),
-        F.col("c")["wds"].alias("wds"),
-        F.col("c")["wst"].alias("wst"),
-        F.col("c")["wld"].alias("wld"),
-        F.col("c")["wco"].alias("wco"),
-        F.col("c")["wtk"].alias("wtk"),
+
+    # --- stage 1: anchor detection (allocation-lean) ------------------------
+    # The hot path is ALLOCATION-BANDWIDTH bound, not CPU bound: building
+    # per-token window arrays made 8 cores ~= 32 cores. So: explode bare
+    # tokens (ONE array per sentence), derive match keys as SCALAR
+    # expressions per exploded row (whole-stage-codegen'd), and filter to
+    # anchor hits before anything heavier exists. The plural/possessive
+    # destem variant ('ds', boundary-regex suffix semantics) is only legal on
+    # the term's LAST token; for n==1 the anchor IS the last token.
+    key3 = ["conv_id", "turn_idx", "sent_idx"]
+    toks_df = sentences.select(
+        *key3, F.posexplode(F.split(F.col("sent_text"), " ")).alias("pos0", "tok")
+    )
+    core = token_core_expr(F.col("tok"))
+    key = F.lower(core)
+    anchors = (
+        toks_df.withColumn("key", key)
+        .withColumn("key_ds", destem_expr(F.col("key")))
+        .filter(
+            F.col("key").isin(firsts)
+            | F.coalesce(F.col("key_ds").isin(firsts), F.lit(False))
+        )
+        .select(
+            *key3,
+            "pos0",
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.struct(F.col("key").alias("k"), F.lit("exact").alias("v")),
+                        F.struct(F.col("key_ds").alias("k"), F.lit("ds").alias("v")),
+                    ),
+                    lambda c: c["k"].isNotNull() & c["k"].isin(firsts),
+                )
+            ).alias("c"),
+        )
+        .select(*key3, "pos0", F.col("c")["k"].alias("anchor_key"), F.col("c")["v"].alias("variant"))
     )
 
     d = F.broadcast(dictionary)
-    j = exploded.join(d, exploded["anchor_key"] == d["first_tok"], "inner")
+    cand = anchors.join(d, anchors["anchor_key"] == d["first_tok"], "inner").filter(
+        (F.col("n") == 1) | (F.col("variant") == "exact")
+    )
 
-    n = F.col("n")
-    in_bounds = n <= F.size("wk")
-    # Catalyst may reorder conjuncts, so every indexed access must be
-    # try_* / length-clamped rather than relying on short-circuit order.
+    # --- stage 2: window validation on candidate rows only ------------------
+    # Join candidates back to the sentence table on the sentence key. Both
+    # sides descend from the SAME normalize exchange (hash(conv_id,turn_idx)
+    # clusters every sentence key), so this is a co-partitioned join — no new
+    # shuffle. Candidates are ~O(dictionary hit rate) per sentence, so the
+    # window re-tokenization below runs per CANDIDATE, not per token.
+    withs = cand.join(sentences.select(*key3, "sent_text"), key3, "inner")
+
+    n, pos0 = F.col("n"), F.col("pos0")
+    toks2 = F.split(F.col("sent_text"), " ")
+    window = F.slice(toks2, pos0 + 1, n)
+    wkeys = F.transform(window, lambda t: F.lower(token_core_expr(t)))
+    in_bounds = n <= (F.size(toks2) - pos0)
+    # Catalyst may reorder conjuncts: indexed access stays try_*/clamped.
     mid_len = F.greatest(n - 2, F.lit(0))
     mid_ok = (n <= 2) | (
-        F.slice(F.col("wk"), 2, mid_len) == F.slice(F.col("term_tokens"), 2, mid_len)
+        F.slice(wkeys, 2, mid_len) == F.slice(F.col("term_tokens"), 2, mid_len)
     )
     last_dict = F.element_at("term_tokens", n)
-    last_ok = (
-        (F.try_element_at(F.col("wk"), n) == last_dict)
-        | (F.coalesce(F.try_element_at(F.col("wds"), n), F.lit("")) == last_dict)
+    last_key = F.try_element_at(wkeys, n)
+    last_ok = (last_key == last_dict) | (
+        F.coalesce(destem_expr(last_key), F.lit("")) == last_dict
     )
-    match = F.when(n == 1, F.lit(True)).otherwise(
-        (F.col("variant") == "exact") & in_bounds & mid_ok & last_ok
+    match = F.when(n == 1, F.lit(True)).otherwise(in_bounds & mid_ok & last_ok)
+    j = (
+        withs.withColumn("_w", window)
+        .withColumn("_wk", wkeys)
+        .filter(match)
     )
-    j = j.filter(match)
 
-    start = F.element_at("wst", 1) + F.element_at("wld", 1)
-    end = (
-        F.try_element_at(F.col("wst"), n)
-        + F.try_element_at(F.col("wld"), n)
-        + F.length(F.try_element_at(F.col("wco"), n))
+    # offsets: start of token pos0 = sum(len+1) over preceding tokens —
+    # an O(pos) fold over a slice, no offsets array materialized.
+    prefix_len = F.aggregate(
+        F.slice(toks2, 1, pos0), F.lit(0), lambda acc, t: acc + F.length(t) + 1
     )
-    # surface is reconstructed from the token window (tokens joined by the
-    # single spaces guaranteed by clean_text) instead of substring-ing the
-    # sentence text — this keeps sent_text out of the exploded rows AND out
-    # of the span shuffle payload entirely. substring equality vs the turn
-    # text still holds by construction (validate_alignment re-checks it).
-    joined_window = F.concat_ws(" ", F.slice(F.col("wtk"), 1, n))
-    surface = F.expr(
-        "substring(_joined, element_at(wld, 1) + 1, _end - _start)"
+    first_tok = F.element_at("_w", 1)
+    last_tok = F.try_element_at(F.col("_w"), n)
+    lead1 = token_lead_expr(first_tok)
+    lead_n = token_lead_expr(last_tok)
+    # char length of the window = joined length of its tokens
+    win_prefix = F.aggregate(
+        F.slice(F.col("_w"), 1, n - 1), F.lit(0), lambda acc, t: acc + F.length(t) + 1
     )
+    start = (prefix_len + lead1).cast("int")
+    end = (prefix_len + win_prefix + lead_n + F.length(token_core_expr(last_tok))).cast("int")
+    # surface from the joined window tokens (single spaces by clean_text)
+    joined_window = F.concat_ws(" ", F.col("_w"))
     spans = (
-        j.withColumn("_joined", joined_window)
-        .withColumn("_start", start.cast("int"))
-        .withColumn("_end", end.cast("int"))
+        j.withColumn("_start", start)
+        .withColumn("_end", end)
+        .withColumn("_joined", joined_window)
+        .withColumn("_lead1", lead1.cast("int"))
         .select(
-            "conv_id",
-            "turn_idx",
-            "sent_idx",
+            *key3,
             F.col("_start").alias("start"),
             F.col("_end").alias("end"),
             "term",
             "label",
             "ent_id",
-            surface.alias("surface"),
+            F.expr("substring(_joined, _lead1 + 1, _end - _start)").alias("surface"),
         )
     )
     # Exact-duplicate dedup happens inside drop_contained (array_distinct on
@@ -218,10 +223,25 @@ def drop_contained(spans: DataFrame) -> DataFrame:
     g = spans.groupBy("conv_id", "turn_idx", "sent_idx").agg(
         F.array_distinct(F.collect_list(payload)).alias("arr")
     )
-    kept = F.filter(
+    # (a) homonym-id dedup: per (start, end, label) keep the min ent_id —
+    # array-side, so downstream label resolution needs no span-level
+    # aggregate at all (winner filter is per-label, so pre-picking the min
+    # ent within each label commutes with it);
+    # (b) longest-match containment drop.
+    deduped = F.filter(
         F.col("arr"),
         lambda a: ~F.exists(
             F.col("arr"),
+            lambda b: (b["start"] == a["start"])
+            & (b["end"] == a["end"])
+            & (b["label"] == a["label"])
+            & (b["ent_id"] < a["ent_id"]),
+        ),
+    )
+    kept = F.filter(
+        deduped,
+        lambda a: ~F.exists(
+            deduped,
             lambda b: (b["start"] <= a["start"])
             & (a["end"] <= b["end"])
             & ((b["end"] - b["start"]) > (a["end"] - a["start"])),

@@ -18,7 +18,7 @@ import pandas as pd
 from otar3088_spark.synth import LABEL_PRIORITY
 
 GENERIC_WORDS = {"cell", "cells", "line", "lines", "tissue", "tissues"}
-REDLIST = re.compile(r"(genesis|cytic|ial|yal)$")
+REDLIST = re.compile(r"(?:genesis|cytic|ial|yal)$")
 HEADER_RE = re.compile(
     r"^(abstract|introduction|methods|results|discussion|conclusion|background|"
     r"acknowledgements|references|conflict of interest|supplementary material)$|^pmc[0-9]+$"
@@ -111,13 +111,15 @@ def _match_sentence(sent: str, dict_rows: list[tuple]) -> list[dict]:
                     "ent_id": ent_id,
                 }
             )
-    # dedup + longest-match containment drop
-    seen, uniq = set(), []
+    # dedup: one span per (start, end, label), min ent_id wins (homonym-id
+    # pick is label-scoped, so it commutes with the later winner filter) +
+    # longest-match containment drop
+    best: dict[tuple, dict] = {}
     for s in spans:
-        k = (s["start"], s["end"], s["label"], s["ent_id"])
-        if k not in seen:
-            seen.add(k)
-            uniq.append(s)
+        k = (s["start"], s["end"], s["label"])
+        if k not in best or s["ent_id"] < best[k]["ent_id"]:
+            best[k] = s
+    uniq = list(best.values())
     kept = []
     for a in uniq:
         contained = any(

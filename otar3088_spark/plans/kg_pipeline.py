@@ -43,25 +43,35 @@ def build_kg(
     dictionary: DataFrame,
     events: DataFrame | None = None,
     salt_partitions: int | None = None,
-    persist_spans: bool = True,
+    persist_spans: bool = False,
+    staging_dir: str | None = None,
 ) -> KGResult:
     """Run the full pipeline; returns every intermediate as a DataFrame.
 
     All outputs are deterministic order-insensitive sets keyed by stable ids —
     parity with the (imap_unordered-nondeterministic, split2sent_par.py:303)
     reference is defined on triple sets, per SURVEY.md §7.3(c).
+
+    ``staging_dir``: when set, the span table is snapshotted to parquet and
+    read back before label resolution. resolve_labels consumes spans twice
+    (winner counts + join-back) and column pruning gives the two subplans
+    different exchanges, so without materialization the whole tagging DAG
+    executes twice. A parquet snapshot makes the second pass a pruned
+    two-column scan — and doubles as the north-rule per-stage checkpoint
+    (on a cluster this is the Iceberg table boundary).
     """
     normalized = normalize_turns(transcripts, salt_partitions=salt_partitions)
     sentences = sentencize(normalized)
     dict_prepared = prepare_dictionary(dictionary)
     spans = tag_mentions(sentences, dict_prepared)
-    if persist_spans:
-        # spans feed both the label-resolution aggregate and (via resolved)
-        # the triple projection — one deliberate reuse point each.
+    if staging_dir is not None:
+        spark = spans.sparkSession
+        path = f"{staging_dir}/spans"
+        spans.write.mode("overwrite").parquet(path)
+        spans = spark.read.parquet(path)
+    elif persist_spans:
         spans = spans.persist()
     resolved = resolve_labels(spans)
-    if persist_spans:
-        resolved = resolved.persist()
     clusters = entity_clusters(dict_prepared)
     triples = mention_triples(resolved, clusters)
     if events is not None:
