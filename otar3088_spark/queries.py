@@ -207,7 +207,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"), "rnk")
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"), F.col("rnk").cast("bigint").alias("rnk"))
     )
 
 
@@ -276,8 +276,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
     )
 
@@ -354,7 +354,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
         F.round(stop_n / F.size(toks), 4).alias("stopword_ratio"),
         F.round(mean_len, 4).alias("mean_tok_len"),
         F.when(stop_n > 0, F.lit("en_like")).otherwise(F.lit("unknown")).alias("lang_guess"),
@@ -429,7 +429,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rnk")
+        .select("q_id", "vec_id", F.round("cos", 4).alias("cos"), F.col("rnk").cast("bigint").alias("rnk"))
     )
 
 
