@@ -71,6 +71,9 @@ def run_bench(cores: int, sf_dir: str, kg_turns: int, only: str | None = None) -
         )
         n_triples = res.triples.count()
         kg_sec = time.perf_counter() - t0
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
         kg = {
             "kg_turns": kg_turns,
             "kg_sec": round(kg_sec, 3),

@@ -529,6 +529,19 @@ def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (similarity scale path):
+    multi-table random-hyperplane signatures + Hamming-1 multiprobe +
+    exact-cosine verify. xxhash64-derived hyperplanes are not reproducible
+    in DuckDB -> rows-only check; recall vs brute force is pytest-verified
+    (>=0.7 at bits=6, L=16)."""
+    from otar3088_spark.operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(e, probes, k=5)
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship KG pipeline on the deterministic synthetic transcript corpus
     (sf_dir-independent input; pytest golden oracle covers correctness)."""
@@ -569,5 +582,6 @@ QUERIES = {
     "simhash_buckets": q_simhash_buckets,
     "model_mentions": q_model_mentions,
     "iob_roundtrip": q_iob_roundtrip,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "kg_triples": q_kg_triples,
 }

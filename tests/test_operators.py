@@ -267,3 +267,22 @@ def test_snapshot_resume(spark, tmp_path):
     man = store.manifest("stage1")
     assert man["total_rows"] == 10
     assert sum(p["rows"] for p in man["partition_lineage"]) == 10
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from otar3088_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, probes, k=5)
+    approx = ann_lsh_topk(emb, probes, k=5, bits=6, num_tables=16, multiprobe=True)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+    # determinism
+    ap2 = {(r["q_id"], r["vec_id"]) for r in ann_lsh_topk(emb, probes, k=5, bits=6, num_tables=16).collect()}
+    assert ap == ap2
