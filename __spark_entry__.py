@@ -19,10 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _tuned(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to a driver-provided session."""
+    import os
+
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     for k, v in [
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", cores),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ]:
         try:
             spark.conf.set(k, v)
