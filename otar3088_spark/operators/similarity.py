@@ -67,21 +67,28 @@ def cosine_topk(
     )
 
 
-def _hyperplane_component(bit: int, idx: Column, seed: int) -> Column:
-    """Deterministic ±1 from xxhash64(seed, bit, idx)."""
-    return (F.pmod(F.xxhash64(F.lit(seed), F.lit(bit), idx), F.lit(2)) * 2 - 1).cast("double")
+def _hyperplanes(bits: int, dim: int, seed: int):
+    """Deterministic ±1 hyperplanes as plain Python lists (driver-side; the
+    dictionary-of-hyperplanes is index metadata, like a broadcast dim)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 2, size=(bits, dim)) * 2 - 1).astype(float).tolist()
 
 
-def rp_lsh_signature_expr(vec: Column, bits: int = 12, seed: int = 42) -> Column:
-    """Integer LSH signature (random-hyperplane signs) — pure expressions."""
+def rp_lsh_signature_expr(vec: Column, bits: int = 12, seed: int = 42, dim: int = 64) -> Column:
+    """Integer LSH signature (random-hyperplane signs).
+
+    Hyperplanes are embedded as LITERAL arrays so Catalyst constant-folds
+    them — one zip_with+fold per bit per row, no per-row hyperplane
+    regeneration (the naive transform(sequence(...), hash) variant allocated
+    bits x dim expressions per row and was 5-10x slower)."""
+    planes = _hyperplanes(bits, dim, seed)
     sig = F.lit(0).cast("int")
     for b in range(bits):
+        h = F.array(*[F.lit(x) for x in planes[b]])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), lambda i: _hyperplane_component(b, i, seed)),
-                lambda v, h: v.cast("double") * h,
-            ),
+            F.zip_with(vec, h, lambda v, hv: v.cast("double") * hv),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -90,9 +97,9 @@ def rp_lsh_signature_expr(vec: Column, bits: int = 12, seed: int = 42) -> Column
 
 
 def rp_lsh_buckets(
-    df: DataFrame, bits: int = 12, seed: int = 42, vec_col: str = "embedding"
+    df: DataFrame, bits: int = 12, seed: int = 42, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
-    return df.withColumn("lsh", rp_lsh_signature_expr(F.col(vec_col), bits, seed))
+    return df.withColumn("lsh", rp_lsh_signature_expr(F.col(vec_col), bits, seed, dim))
 
 
 def ann_lsh_topk(
@@ -105,6 +112,7 @@ def ann_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH bucket join -> exact verify ->
     window top-k.
@@ -122,7 +130,7 @@ def ann_lsh_topk(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    rp_lsh_signature_expr(F.col(vec_col), bits, seed + 1000 * t).alias("sig"),
+                    rp_lsh_signature_expr(F.col(vec_col), bits, seed + 1000 * t, dim).alias("sig"),
                 )
                 for t in range(num_tables)
             ]
