@@ -65,53 +65,37 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     sentence key + range predicate; arrays are rebuilt with
     sort_array(collect_list(struct(pos, ...))) keeping (pos) order stable.
     """
-    tok = tokenize_sentences(sentences).select(
-        "conv_id", "turn_idx", "sent_idx",
-        F.posexplode(F.arrays_zip("toks", "starts")).alias("pos", "z"),
-    ).select(
-        "conv_id", "turn_idx", "sent_idx", "pos",
-        F.col("z")["toks"].alias("tok"),
-        F.col("z")["starts"].alias("tok_start"),
-        (F.col("z")["starts"] + F.length(F.col("z")["toks"])).alias("tok_end"),
+    key3 = ["conv_id", "turn_idx", "sent_idx"]
+    sp_g = spans.groupBy(*key3).agg(
+        F.collect_list(F.struct("start", "end", "label")).alias("sp")
     )
-    sp = spans.select("conv_id", "turn_idx", "sent_idx", "start", "end", "label")
-    j = tok.join(sp, ["conv_id", "turn_idx", "sent_idx"], "left")
-    contained = (
-        F.col("start").isNotNull()
-        & (F.col("tok_start") >= F.col("start"))
-        & (F.col("tok_end") <= F.col("end"))
+    tok = tokenize_sentences(sentences).select(*key3, "toks", "starts")
+    j = tok.join(sp_g, key3, "left").withColumn(
+        "sp", F.coalesce(F.col("sp"), F.array().cast("array<struct<start:int,end:int,label:string>>"))
     )
-    # every token keeps >=1 row from the left join; non-covering span rows
-    # contribute an 'O' candidate and the rank-pick below collapses them.
-    tagged = j.select(
-        "conv_id", "turn_idx", "sent_idx", "pos", "tok",
-        F.when(~contained, F.lit("O"))
-        .when(F.col("tok_start") == F.col("start"), F.concat(F.lit("B-"), F.col("label")))
-        .otherwise(F.concat(F.lit("I-"), F.col("label")))
-        .alias("tag"),
-    )
-    # a token outside every span got no join partner rows with tags other
-    # than its own 'O'; a token inside a span appears once per covering span —
-    # keep the non-O tag (B over I over O) deterministically.
-    rank = (
-        F.when(F.col("tag").startswith("B-"), 0)
-        .when(F.col("tag").startswith("I-"), 1)
-        .otherwise(2)
-    )
-    w = Window.partitionBy("conv_id", "turn_idx", "sent_idx", "pos").orderBy(
-        rank.asc(), F.col("tag").asc()
-    )
-    best = tagged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return (
-        best.groupBy("conv_id", "turn_idx", "sent_idx")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("pos", "tok", "tag"))).alias("z"),
+
+    # per-token tag computed array-side: covering spans filtered from the
+    # (tiny) per-sentence span array; B if the token starts a covering span,
+    # else I; min label breaks overlaps deterministically (same B<I<O,
+    # label-asc order the previous window-rank implementation used). One
+    # join + per-row expressions — no window sort, no explode/regroup.
+    def tag_at(t, s):
+        covering = F.filter(
+            F.col("sp"), lambda p: (s >= p["start"]) & ((s + F.length(t)) <= p["end"])
         )
-        .select(
-            "conv_id", "turn_idx", "sent_idx",
-            F.transform("z", lambda s: s["tok"]).alias("tokens"),
-            F.transform("z", lambda s: s["tag"]).alias("tags"),
+        starting = F.filter(covering, lambda p: p["start"] == s)
+        b_label = F.array_min(F.transform(starting, lambda p: p["label"]))
+        i_label = F.array_min(F.transform(covering, lambda p: p["label"]))
+        return (
+            F.when(F.size(starting) > 0, F.concat(F.lit("B-"), b_label))
+            .when(F.size(covering) > 0, F.concat(F.lit("I-"), i_label))
+            .otherwise(F.lit("O"))
         )
+
+    return j.select(
+        *key3,
+        F.col("toks").alias("tokens"),
+        F.zip_with("toks", "starts", tag_at).alias("tags"),
     )
 
 
