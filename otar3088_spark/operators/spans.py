@@ -7,11 +7,11 @@ Spark restatements of the reference's span machinery:
   (conv_id, turn_idx) equi-prefix so it is a partitioned hash join + local
   range predicate, never a cartesian.
 * ``reoffset_to_sentence``      — F15 arithmetic re-offsetting.
-* ``spans_to_iob``              — J9/F12: token ⊆ span containment join →
-  B-/I-/O tags, regrouped into aligned token/tag arrays.
+* ``spans_to_iob``              — J9/F12: per-token B-/I-/O tags computed
+  array-side against the collected per-sentence span set (no window sort).
 * ``iob_to_spans``              — W5 BIO merge: the reference's sequential
-  look-ahead walk (trial_to_papers.ipynb cell 11) as lag/running-sum
-  sessionization + groupBy.
+  look-ahead walk (trial_to_papers.ipynb cell 11) as array filters over the
+  tag sequence (B- positions -> continuation run ends), one explode.
 * ``segment_turns``             — F14 entity-aware windowed splitting
   (article_normaliser.py:165-258): the one genuinely stateful-cursor op,
   implemented as a vectorized pandas UDF returning segment arrays (SURVEY.md
@@ -61,9 +61,7 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     """J9/F12: (sentence, spans) -> aligned ``tokens``/``tags`` arrays.
 
     Token gets ``B-X`` iff it starts the span, ``I-X`` iff strictly inside,
-    else ``O`` (iob_converter.py:47-68). Containment is a left join on the
-    sentence key + range predicate; arrays are rebuilt with
-    sort_array(collect_list(struct(pos, ...))) keeping (pos) order stable.
+    else ``O`` (iob_converter.py:47-68).
     """
     key3 = ["conv_id", "turn_idx", "sent_idx"]
     sp_g = spans.groupBy(*key3).agg(
@@ -107,33 +105,42 @@ def filter_all_o(iob: DataFrame) -> DataFrame:
 def iob_to_spans(iob: DataFrame) -> DataFrame:
     """W5 BIO merge: token/tag arrays -> (start_pos, end_pos, label) spans.
 
-    span_id = running count of B- tags over token order (sessionization);
-    groupBy(span_id) merges B + following I tokens. The ``##`` subword merge
-    of the reference collapses into the same groupBy because subwords carry
-    I- tags (trial_to_papers.ipynb cell 11)."""
-    ex = iob.select(
-        "conv_id", "turn_idx", "sent_idx",
-        F.posexplode(F.arrays_zip("tokens", "tags")).alias("pos", "z"),
-    ).select(
-        "conv_id", "turn_idx", "sent_idx", "pos",
-        F.col("z")["tokens"].alias("tok"),
-        F.col("z")["tags"].alias("tag"),
-    )
-    w = Window.partitionBy("conv_id", "turn_idx", "sent_idx").orderBy("pos")
-    ex = ex.withColumn(
-        "span_id", F.sum(F.when(F.col("tag").startswith("B-"), 1).otherwise(0)).over(w)
-    ).filter(F.col("tag") != "O")
-    # tokens tagged I- before any B- (malformed) are dropped with span_id==0
-    ex = ex.filter(F.col("span_id") > 0)
-    return (
-        ex.groupBy("conv_id", "turn_idx", "sent_idx", "span_id")
-        .agg(
-            F.min("pos").alias("start_pos"),
-            F.max("pos").alias("end_pos"),
-            F.concat_ws(" ", F.sort_array(F.collect_list(F.struct("pos", "tok"))).getField("tok")).alias("text"),
-            F.min(F.regexp_replace("tag", "^[BI]-", "")).alias("label"),
+    Each B- position opens a span that runs through the consecutive
+    continuation (I-<label>) tags; the reference's ``##`` subword merge
+    collapses into the same run because subwords carry I- tags
+    (trial_to_papers.ipynb cell 11)."""
+    tags, toks = F.col("tags"), F.col("tokens")
+    idxs = F.sequence(F.lit(0), F.size(tags) - 1)
+    b_pos = F.filter(idxs, lambda i: F.try_element_at(tags, i + 1).startswith("B-"))
+
+    def span_at(b):
+        label = F.substring(F.try_element_at(tags, b + 1), 3, 1000)
+        i_tag = F.concat(F.lit("I-"), label)
+        # first position after b whose tag is not the continuation tag
+        stops = F.filter(
+            idxs, lambda j: (j > b) & (F.try_element_at(tags, j + 1) != i_tag)
         )
-        .drop("span_id")
+        end_pos = F.coalesce(F.array_min(stops), F.size(tags)) - 1
+        return F.struct(
+            b.alias("start_pos"),
+            end_pos.alias("end_pos"),
+            F.concat_ws(" ", F.slice(toks, b + 1, end_pos - b + 1)).alias("text"),
+            label.alias("label"),
+        )
+
+    # per-sentence span extraction as array expressions (the reference's
+    # sequential look-ahead walk collapses to filters over the tag array) —
+    # no explode/window/sort; tokens tagged I- before any B- are ignored,
+    # matching the previous span_id>0 rule.
+    return iob.select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.explode(F.transform(b_pos, span_at)).alias("s"),
+    ).select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.col("s")["start_pos"].alias("start_pos"),
+        F.col("s")["end_pos"].alias("end_pos"),
+        F.col("s")["text"].alias("text"),
+        F.col("s")["label"].alias("label"),
     )
 
 
