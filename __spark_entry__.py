@@ -51,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
     transcripts = spark.createDataFrame(transcripts_pandas(n_convs=40))
     dictionary = spark.createDataFrame(entity_dictionary_pandas())
     events = spark.createDataFrame(events_pandas(n=200))
-    res = build_kg(transcripts, dictionary, events=events)
+    res = build_kg(transcripts, dictionary, events=events, use_model=True)
     return res.triples
 
 

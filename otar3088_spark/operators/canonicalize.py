@@ -133,7 +133,16 @@ def connected_components(
                 parent[max(ra, rb)] = min(ra, rb)
         out = sorted({(n, find(n)) for n in parent})
         spark = edges.sparkSession
-        return spark.createDataFrame(out, ["node", "component"])
+        # explicit schema derived from the edge key type: createDataFrame
+        # cannot infer a schema from an empty list, and a dictionary with no
+        # alias collisions legitimately produces zero edges.
+        from pyspark.sql import types as T
+
+        node_type = edges.schema["src"].dataType
+        schema = T.StructType(
+            [T.StructField("node", node_type), T.StructField("component", node_type)]
+        )
+        return spark.createDataFrame(out, schema)
 
     comps = (
         sym.select(F.col("src").alias("node"))

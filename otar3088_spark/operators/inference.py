@@ -100,6 +100,142 @@ def model_mentions(
     return sentences.select(*cols).mapInPandas(run, schema=MENTION_SCHEMA)
 
 
+def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Entity-link candidate generation for model-scored mentions — the
+    north-star 'link-score disambiguation' stage (reference lineage:
+    trial_to_papers.ipynb cells 11-12 link model spans back to the entity
+    dictionary).
+
+    Two-tier candidate generation, broadcast-joined in ONE pass:
+
+    * rank 0 — the exact gazetteer key (per-token punctuation core,
+      lowercase, plural/possessive destem on the last token —
+      functions/text.py); finds what the dictionary tagger finds.
+    * rank 1 — the ALIAS key (canonicalize.alias_key_expr: drop generic type
+      words, strip non-alphanumerics). This is what makes the model branch
+      additive: a transformer-detected surface like "HEK-293" or
+      "acetylsalicylic-acid" has no token-level gazetteer match (the
+      dictionary term is two tokens) but links through the alias key —
+      exactly the reference's lemma-dict linking looseness
+      (labelstudio_e2e.py:196-240).
+
+    The span is re-offset to core extents so exact collisions with
+    dictionary spans dedup cleanly. Candidates are disambiguated per
+    (span, label) by min (rank, ent_id) — exact-key links beat alias links,
+    then the same min-ent pick drop_contained applies on the gazetteer path.
+    Pure Catalyst expressions + one broadcast join; unlinked model mentions
+    are dropped (no dictionary entity to ground a triple on).
+    """
+    from pyspark.sql import functions as F
+
+    from otar3088_spark.functions.text import (
+        destem_expr,
+        token_core_expr,
+        token_lead_expr,
+    )
+    from otar3088_spark.operators.canonicalize import alias_key_expr
+
+    toks = F.split(F.col("surface"), " ")
+    cores = F.transform(toks, token_core_expr)
+    leads = F.transform(toks, token_lead_expr)
+    keys = F.transform(cores, F.lower)
+    n = F.size(toks)
+    key_exact = F.concat_ws(" ", keys)
+    ds_last = destem_expr(F.element_at(keys, -1))
+    key_ds = F.when(
+        ds_last.isNotNull(),
+        F.concat_ws(" ", F.concat(F.slice(keys, 1, n - 1), F.array(ds_last))),
+    )
+    lead1 = F.element_at(leads, 1)
+    trail = (
+        F.length(F.element_at(toks, -1))
+        - F.element_at(leads, -1)
+        - F.length(F.element_at(cores, -1))
+    )
+    # alias key of the surface: non-alphanumerics become token boundaries
+    # first ("HEK-293" -> "hek 293" -> alias "hek293"), then the shared
+    # alias normalization
+    surf_akey = alias_key_expr(F.regexp_replace(F.col("surface"), "[^A-Za-z0-9]+", " "))
+    m = model_spans.select(
+        "conv_id", "turn_idx", "sent_idx", "score",
+        key_exact.alias("key_exact"),
+        key_ds.alias("key_ds"),
+        surf_akey.alias("akey"),
+        (F.col("start") + lead1).cast("int").alias("start"),
+        (F.col("end") - trail).cast("int").alias("end"),
+        F.col("surface").alias("_surface_raw"),
+        lead1.cast("int").alias("_lead1"),
+    ).withColumn(
+        "surface",
+        F.expr("substring(_surface_raw, _lead1 + 1, end - start)"),
+    ).drop("_surface_raw", "_lead1")
+
+    d = F.broadcast(
+        dictionary.select(
+            F.concat_ws(" ", F.col("term_tokens")).alias("dict_key"),
+            alias_key_expr(F.col("term")).alias("dict_akey"),
+            "term", "label", "ent_id",
+        )
+    )
+    exact_hit = (F.col("key_exact") == F.col("dict_key")) | (
+        F.col("key_ds") == F.col("dict_key")
+    )
+    alias_hit = (F.length("akey") > 0) & (F.col("akey") == F.col("dict_akey"))
+    linked = m.join(d, exact_hit | alias_hit, "inner").withColumn(
+        "rank", F.when(exact_hit, F.lit(0)).otherwise(F.lit(1))
+    )
+    key5 = ["conv_id", "turn_idx", "sent_idx", "start", "end"]
+    return (
+        linked.groupBy(*key5, "label")
+        .agg(
+            F.min(F.struct("rank", "ent_id", "term", "surface")).alias("m"),
+        )
+        .select(
+            *key5,
+            F.col("m")["term"].alias("term"),
+            "label",
+            F.col("m")["ent_id"].alias("ent_id"),
+            F.col("m")["surface"].alias("surface"),
+        )
+    )
+
+
+def merge_spans_with_model(dict_spans: DataFrame, linked_model: DataFrame) -> DataFrame:
+    """Union gazetteer spans with dictionary-linked model spans, dictionary
+    precedence on exact (sentence, start, end) collision — merge_mentions
+    semantics, but keeping the dictionary columns (term, ent_id) the
+    downstream resolution/triple stages need, and with ONE shuffle: union →
+    groupBy span key → array filter (a left-anti join would consume — and at
+    plan level recompute — the tagging DAG twice)."""
+    from pyspark.sql import functions as F
+
+    cols = ["conv_id", "turn_idx", "sent_idx", "start", "end",
+            "term", "label", "ent_id", "surface"]
+    u = dict_spans.select(*cols).withColumn("_src", F.lit(0)).unionByName(
+        linked_model.select(*cols).withColumn("_src", F.lit(1))
+    )
+    g = u.groupBy("conv_id", "turn_idx", "sent_idx", "start", "end").agg(
+        F.collect_list(F.struct("term", "label", "ent_id", "surface", "_src")).alias("arr")
+    )
+    has_dict = F.exists("arr", lambda a: a["_src"] == 0)
+    kept = F.when(has_dict, F.filter("arr", lambda a: a["_src"] == 0)).otherwise(
+        F.col("arr")
+    )
+    return (
+        g.select(
+            "conv_id", "turn_idx", "sent_idx", "start", "end",
+            F.explode(F.array_distinct(kept)).alias("s"),
+        )
+        .select(
+            "conv_id", "turn_idx", "sent_idx", "start", "end",
+            F.col("s")["term"].alias("term"),
+            F.col("s")["label"].alias("label"),
+            F.col("s")["ent_id"].alias("ent_id"),
+            F.col("s")["surface"].alias("surface"),
+        )
+    )
+
+
 def merge_mentions(dict_spans: DataFrame, model_spans: DataFrame) -> DataFrame:
     """U1 union of dictionary + model mentions with dictionary priority on
     exact (start, end) collision (reference resolves conflicts by source

@@ -67,21 +67,30 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     sp_g = spans.groupBy(*key3).agg(
         F.collect_list(F.struct("start", "end", "label")).alias("sp")
     )
-    tok = tokenize_sentences(sentences).select(*key3, "toks", "starts")
+    tok = tokenize_sentences(sentences).select(*key3, "toks", "starts", "leads", "cores")
     j = tok.join(sp_g, key3, "left").withColumn(
         "sp", F.coalesce(F.col("sp"), F.array().cast("array<struct<start:int,end:int,label:string>>"))
     )
 
-    # per-token tag computed array-side: covering spans filtered from the
-    # (tiny) per-sentence span array; B if the token starts a covering span,
-    # else I; min label breaks overlaps deterministically (same B<I<O,
-    # label-asc order the previous window-rank implementation used). One
-    # join + per-row expressions — no window sort, no explode/regroup.
-    def tag_at(t, s):
+    # per-token tag computed array-side: coverage is checked against the
+    # CORE-token extent (start+lead .. start+lead+len(core)) because
+    # tag_mentions emits spans at punctuation-stripped extents — a raw-extent
+    # check would leave a mention in "HeLa." covering no token (all-O). The
+    # FIRST covered token gets B- (p.start >= raw token start holds only for
+    # the first covered token), matching the reference IOBConverter which
+    # tags the first fully-contained token B- (iob_converter.py:47-68). Min
+    # label breaks overlaps deterministically. One join + per-row
+    # expressions — no window sort, no explode/regroup.
+    def tag_at(e):
+        cs = e["starts"] + e["leads"]
+        ce = cs + F.length(e["cores"])
         covering = F.filter(
-            F.col("sp"), lambda p: (s >= p["start"]) & ((s + F.length(t)) <= p["end"])
+            F.col("sp"),
+            lambda p: (F.length(e["cores"]) > 0)
+            & (cs >= p["start"])
+            & (ce <= p["end"]),
         )
-        starting = F.filter(covering, lambda p: p["start"] == s)
+        starting = F.filter(covering, lambda p: p["start"] >= e["starts"])
         b_label = F.array_min(F.transform(starting, lambda p: p["label"]))
         i_label = F.array_min(F.transform(covering, lambda p: p["label"]))
         return (
@@ -90,10 +99,11 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
             .otherwise(F.lit("O"))
         )
 
+    z = F.arrays_zip(F.col("starts"), F.col("leads"), F.col("cores"))
     return j.select(
         *key3,
         F.col("toks").alias("tokens"),
-        F.zip_with("toks", "starts", tag_at).alias("tags"),
+        F.transform(z, tag_at).alias("tags"),
     )
 
 

@@ -133,13 +133,82 @@ def _match_sentence(sent: str, dict_rows: list[tuple]) -> list[dict]:
     return kept
 
 
-def extract_spans(transcripts: pd.DataFrame, dict_df: pd.DataFrame) -> pd.DataFrame:
+def model_spans_of(sent: str) -> list[tuple[int, int]]:
+    """Trusted-side mirror of the deterministic stand-in scorer
+    (operators/inference.py _stand_in_scorer): a mention for every token of
+    length >= 4 whose md5 first byte < 16. Only extents matter here — the
+    linker takes the label from the dictionary row."""
+    import hashlib
+
+    spans, cur = [], 0
+    for tok in sent.split(" "):
+        if len(tok) >= 4:
+            h = hashlib.md5(tok.lower().encode()).digest()
+            if h[0] < 16:
+                spans.append((cur, cur + len(tok)))
+        cur += len(tok) + 1
+    return spans
+
+
+def _link_model_spans(
+    sent: str,
+    mspans: list[tuple[int, int]],
+    dict_by_key: dict[str, list[tuple]],
+    dict_by_akey: dict[str, list[tuple]],
+) -> list[dict]:
+    """Mirror of link_model_mentions: gazetteer-key normalization of the
+    surface (rank 0: exact + last-token destem) plus alias-key fallback
+    (rank 1), core re-offset, min-(rank, ent_id) per (span, label)."""
+    out = []
+    for s, e in mspans:
+        surface = sent[s:e]
+        toks = surface.split(" ")
+        lcs = [token_core(t) for t in toks]
+        keys = [c.lower() for (_, c) in lcs]
+        key_exact = " ".join(keys)
+        ds = destem(keys[-1]) if keys else None
+        cands = [(0, *c) for c in dict_by_key.get(key_exact, [])]
+        if ds is not None:
+            cands += [(0, *c) for c in dict_by_key.get(" ".join(keys[:-1] + [ds]), [])]
+        akey = alias_key(re.sub(r"[^A-Za-z0-9]+", " ", surface))
+        if akey:
+            seen0 = {(ent, term, lab) for (_r, ent, term, lab) in cands}
+            cands += [
+                (1, *c) for c in dict_by_akey.get(akey, []) if c not in seen0
+            ]
+        if not cands:
+            continue
+        lead1 = lcs[0][0]
+        trail = len(toks[-1]) - lcs[-1][0] - len(lcs[-1][1])
+        ns, ne = s + lead1, e - trail
+        best: dict[str, tuple] = {}
+        for rank, ent_id, term, label in cands:
+            if label not in best or (rank, ent_id) < best[label][:2]:
+                best[label] = (rank, ent_id, term)
+        for label, (_rank, ent_id, term) in best.items():
+            out.append(
+                {"start": ns, "end": ne, "surface": sent[ns:ne],
+                 "term": term, "label": label, "ent_id": ent_id}
+            )
+    return out
+
+
+def extract_spans(
+    transcripts: pd.DataFrame, dict_df: pd.DataFrame, with_model: bool = False
+) -> pd.DataFrame:
     d = prepare_dictionary(dict_df)
     dict_rows = list(
         d[["ent_id", "label", "term", "term_tokens", "n", "first_tok"]].itertuples(
             index=False, name=None
         )
     )
+    dict_by_key: dict[str, list[tuple]] = {}
+    dict_by_akey: dict[str, list[tuple]] = {}
+    for ent_id, label, term, term_tokens, _n, _f in dict_rows:
+        dict_by_key.setdefault(" ".join(term_tokens), []).append((ent_id, term, label))
+        ak = alias_key(term)
+        if ak:
+            dict_by_akey.setdefault(ak, []).append((ent_id, term, label))
     t = transcripts.dropna(subset=["text", "conv_id"]).drop_duplicates(
         subset=["conv_id", "turn_idx"]
     )
@@ -150,7 +219,21 @@ def extract_spans(transcripts: pd.DataFrame, dict_df: pd.DataFrame) -> pd.DataFr
     ):
         clean = clean_text(text)
         for sent_idx, (cstart, sent) in enumerate(sentences_of(clean)):
-            for s in _match_sentence(sent, dict_rows):
+            kept = _match_sentence(sent, dict_rows)
+            if with_model:
+                # dictionary precedence on exact (start, end) collision —
+                # merge_spans_with_model semantics
+                taken = {(a["start"], a["end"]) for a in kept}
+                linked = _link_model_spans(
+                    sent, model_spans_of(sent), dict_by_key, dict_by_akey
+                )
+                seen = set()
+                for m in linked:
+                    k = (m["start"], m["end"], m["label"], m["ent_id"])
+                    if (m["start"], m["end"]) not in taken and k not in seen:
+                        seen.add(k)
+                        kept.append(m)
+            for s in kept:
                 rows.append(
                     {"conv_id": conv_id, "turn_idx": int(turn_idx), "sent_idx": sent_idx, **s}
                 )
@@ -215,9 +298,10 @@ def golden_triples(
     transcripts: pd.DataFrame,
     dict_df: pd.DataFrame,
     events: pd.DataFrame | None = None,
+    with_model: bool = False,
 ) -> pd.DataFrame:
     """Distinct (subj, pred, obj) golden set."""
-    spans = resolve_labels(extract_spans(transcripts, dict_df))
+    spans = resolve_labels(extract_spans(transcripts, dict_df, with_model=with_model))
     clusters = entity_clusters(dict_df)
     rows = set()
     for r in spans.itertuples(index=False):

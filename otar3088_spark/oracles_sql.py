@@ -14,8 +14,13 @@ from otar3088_spark.queries import DOC_DICT
 _DOC_DICT_VALUES = ", ".join(f"('{i}', '{t}', '{l}')" for (i, t, l) in DOC_DICT)
 
 # Dictionary CTE reused by the tagging oracles. Only multi-token n in {1,2}
-# occurs in DOC_DICT; the SQL handles both via a unigram and a bigram pass,
-# then applies the engine's longest-match containment rule with NOT EXISTS.
+# occurs in DOC_DICT; the SQL handles both via a unigram and a bigram pass.
+# Mirrors the ENGINE normalization exactly (tagging.py / functions/text.py):
+# token core = strip leading ([\"' and trailing )].,;:!?\"' punctuation;
+# match key = lower(core); plural/possessive destem on the unigram anchor and
+# on the LAST token of a multi-token term; span offsets are core extents
+# (raw start + lead-strip width .. + core length). Then the engine's
+# min-ent-id-per-(start,end,label) pick and longest-match containment rule.
 _TAGGING_CTE = f"""
 WITH dict(ent_id, term, label) AS (VALUES {_DOC_DICT_VALUES}),
 toks_raw AS (
@@ -25,37 +30,55 @@ toks_raw AS (
     FROM documents
 ),
 toks AS (
-    SELECT doc_id, lower(tok_raw) AS tok, pos::INT AS pos, length(tok_raw) AS len
+    SELECT doc_id, pos::INT AS pos, length(tok_raw) AS rawlen,
+           length(tok_raw) - length(regexp_replace(tok_raw, '^[(\\["'']+', '')) AS lead,
+           lower(regexp_replace(regexp_replace(tok_raw, '^[(\\["'']+', ''),
+                                '[)\\].,;:!?"'']+$', '')) AS key
     FROM toks_raw
 ),
-pos_toks AS (
-    SELECT doc_id, tok, pos, len,
-           COALESCE(SUM(len + 1) OVER (
+keyed AS (
+    SELECT doc_id, pos, rawlen, lead, key, length(key) AS corelen,
+           CASE WHEN key LIKE '%''s' THEN substr(key, 1, length(key) - 2)
+                WHEN key LIKE '%s' AND length(key) > 3 THEN substr(key, 1, length(key) - 1)
+                ELSE NULL END AS key_ds,
+           COALESCE(SUM(rawlen + 1) OVER (
                PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS rawstart
     FROM toks
 ),
 uni AS (
-    SELECT p.doc_id, p.start, (p.start + p.len)::INT AS "end",
+    SELECT p.doc_id, (p.rawstart + p.lead)::INT AS start,
+           (p.rawstart + p.lead + p.corelen)::INT AS "end",
            d.term, d.label, d.ent_id
-    FROM pos_toks p JOIN dict d
-      ON p.tok = d.term AND length(d.term) > 2 AND strpos(d.term, ' ') = 0
+    FROM keyed p JOIN dict d
+      ON (p.key = d.term OR p.key_ds = d.term)
+     AND length(d.term) > 2 AND strpos(d.term, ' ') = 0
 ),
 bi AS (
-    SELECT a.doc_id, a.start, (b.start + b.len)::INT AS "end",
+    SELECT a.doc_id, (a.rawstart + a.lead)::INT AS start,
+           (b.rawstart + b.lead + b.corelen)::INT AS "end",
            d.term, d.label, d.ent_id
-    FROM pos_toks a
-    JOIN pos_toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    FROM keyed a
+    JOIN keyed b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
     JOIN dict d ON strpos(d.term, ' ') > 0
-      AND a.tok = string_split(d.term, ' ')[1]
-      AND b.tok = string_split(d.term, ' ')[2]
+      AND a.key = string_split(d.term, ' ')[1]
+      AND (b.key = string_split(d.term, ' ')[2]
+           OR b.key_ds = string_split(d.term, ' ')[2])
 ),
 allm AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
 dedup AS (SELECT DISTINCT doc_id, start, "end", term, label, ent_id FROM allm),
-spans AS (
+picked AS (
     SELECT a.* FROM dedup a
     WHERE NOT EXISTS (
         SELECT 1 FROM dedup b
+        WHERE b.doc_id = a.doc_id AND b.start = a.start AND b."end" = a."end"
+          AND b.label = a.label AND b.ent_id < a.ent_id
+    )
+),
+spans AS (
+    SELECT a.* FROM picked a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM picked b
         WHERE b.doc_id = a.doc_id AND b.start <= a.start AND a."end" <= b."end"
           AND (b."end" - b.start) > (a."end" - a.start)
     )
@@ -165,7 +188,7 @@ ORACLE_SQL: dict[str, str] = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ), s AS (
             SELECT user_id, value,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_id
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_id
             FROM g
         )
         SELECT user_id, session_id, count(*) AS n_events,

@@ -45,6 +45,8 @@ def build_kg(
     salt_partitions: int | None = None,
     persist_spans: bool = False,
     staging_dir: str | None = None,
+    use_model: bool = False,
+    model_scorer=None,
 ) -> KGResult:
     """Run the full pipeline; returns every intermediate as a DataFrame.
 
@@ -64,6 +66,23 @@ def build_kg(
     sentences = sentencize(normalized)
     dict_prepared = prepare_dictionary(dictionary)
     spans = tag_mentions(sentences, dict_prepared)
+    if use_model or model_scorer is not None:
+        # North-star transformer branch: batched model inference
+        # (mapInPandas, per-executor singleton — a real HF scorer plugs in
+        # via model_scorer), entity-link candidate generation against the
+        # broadcast dictionary, then source-precedence merge with the
+        # gazetteer spans (dict wins exact span collisions). One extra
+        # shuffle total (the merge groupBy); the model pass itself is a
+        # narrow Arrow-batched map over sentences.
+        from otar3088_spark.operators.inference import (
+            link_model_mentions,
+            merge_spans_with_model,
+            model_mentions,
+        )
+
+        model_sp = model_mentions(sentences, scorer=model_scorer)
+        linked = link_model_mentions(model_sp, dict_prepared)
+        spans = merge_spans_with_model(spans, linked)
     if staging_dir is not None:
         spark = spans.sparkSession
         path = f"{staging_dir}/spans"

@@ -544,13 +544,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship KG pipeline on the deterministic synthetic transcript corpus
-    (sf_dir-independent input; pytest golden oracle covers correctness)."""
+    (sf_dir-independent input; pytest golden oracle covers correctness).
+    Runs the MERGED path: gazetteer + transformer-scored spans (stand-in
+    scorer) entity-linked and unioned with dictionary precedence."""
     from otar3088_spark.plans.kg_pipeline import build_kg
     from otar3088_spark.synth import entity_dictionary_pandas, transcripts_pandas
 
     transcripts = spark.createDataFrame(transcripts_pandas(n_convs=40))
     dictionary = spark.createDataFrame(entity_dictionary_pandas())
-    return build_kg(transcripts, dictionary, persist_spans=False).triples
+    return build_kg(transcripts, dictionary, persist_spans=False, use_model=True).triples
 
 
 QUERIES = {

@@ -60,9 +60,17 @@ def incremental_kg_update(
         if batch_df.isEmpty():
             return
         res = build_kg(batch_df, dictionary, persist_spans=False)
+        # Idempotent per-batch write: dynamic partition overwrite of the
+        # batch_id=<id> directory. foreachBatch is at-least-once (a crash
+        # between the sink write and the checkpoint commit replays the
+        # batch); overwriting the batch's own partition makes the replay a
+        # no-op instead of a duplicate — the exactly-once claim holds
+        # end-to-end. Same shape as an Iceberg overwrite-by-filter commit.
         (
             res.triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(output_dir)
         )
 

@@ -86,7 +86,7 @@ def entity_dictionary_pandas() -> pd.DataFrame:
 def _mention_surface(rng: np.random.RandomState, term: str) -> str:
     """Surface-form variants matched by the reference boundary regex
     ``(?<!\\w)term(?:s|'s)?(?!\\w)`` case-insensitively (labelstudio_e2e.py:171-178)."""
-    v = rng.randint(5)
+    v = rng.randint(6)
     if v == 0:
         return term.upper()
     if v == 1:
@@ -95,6 +95,11 @@ def _mention_surface(rng: np.random.RandomState, term: str) -> str:
         return term + "s"  # plural
     if v == 3 and not term.endswith("s"):
         return term + "'s"  # possessive
+    if v == 4 and " " in term:
+        # hyphenated multi-word variant ("HEK 293" -> "HEK-293"): invisible
+        # to token-level gazetteer matching, linkable only through the model
+        # branch's alias-key tier (link_model_mentions rank 1)
+        return term.replace(" ", "-")
     return term
 
 

@@ -103,6 +103,71 @@ def test_triples_pr_against_golden(
     assert p == 1.0 and r == 1.0
 
 
+def test_triples_pr_with_model_branch(
+    spark, transcripts_df, dictionary_df, transcripts_pd, dictionary_pd
+):
+    """North-star merged path: gazetteer + transformer-scored spans. The
+    stand-in scorer + alias-key linking must (a) stay at exact golden parity
+    and (b) strictly ADD mentions the gazetteer cannot match (hyphenated
+    multi-word variants in the fixture)."""
+    res = build_kg(transcripts_df, dictionary_df, use_model=True)
+    pred = set(
+        map(tuple, res.triples.select("subj", "pred", "obj").distinct().collect())
+    )
+    gold_df = oracle.golden_triples(transcripts_pd, dictionary_pd, with_model=True)
+    gold = set(map(tuple, gold_df.itertuples(index=False, name=None)))
+    p, r = oracle.precision_recall(pred, gold)
+    assert p == 1.0 and r == 1.0, (
+        f"P={p:.4f} R={r:.4f}; pred-only={sorted(pred - gold)[:5]}, "
+        f"gold-only={sorted(gold - pred)[:5]}"
+    )
+
+
+def test_model_branch_adds_linked_mentions(
+    spark, transcripts_df, dictionary_df, transcripts_pd, dictionary_pd
+):
+    """With a permissive scorer (every token >= 4 chars is a candidate
+    mention), the model branch must link hyphenated dictionary variants the
+    gazetteer misses — strictly more triples than the dictionary-only path,
+    still at exact parity with the equally-permissive oracle."""
+    import pandas as _pd
+
+    def perm_scorer(sentences):
+        out = []
+        for sent in sentences:
+            spans, cur = [], 0
+            for tok in sent.split(" "):
+                if len(tok) >= 4:
+                    spans.append((cur, cur + len(tok), "Candidate", 0.9))
+                cur += len(tok) + 1
+            out.append(spans)
+        return out
+
+    base = build_kg(transcripts_df, dictionary_df)
+    merged = build_kg(transcripts_df, dictionary_df, model_scorer=perm_scorer)
+    base_t = set(map(tuple, base.triples.select("subj", "pred", "obj").distinct().collect()))
+    merged_t = set(map(tuple, merged.triples.select("subj", "pred", "obj").distinct().collect()))
+    assert base_t < merged_t, "model branch should strictly add linked mentions"
+
+    # oracle with the same permissive extents
+    import otar3088_spark.oracle as o
+
+    orig = o.model_spans_of
+    try:
+        o.model_spans_of = lambda sent: [
+            (s, e) for (s, e, _l, _sc) in perm_scorer(_pd.Series([sent]))[0]
+        ]
+        gold_df = o.golden_triples(transcripts_pd, dictionary_pd, with_model=True)
+    finally:
+        o.model_spans_of = orig
+    gold = set(map(tuple, gold_df.itertuples(index=False, name=None)))
+    p, r = oracle.precision_recall(merged_t, gold)
+    assert p == 1.0 and r == 1.0, (
+        f"P={p:.4f} R={r:.4f}; pred-only={sorted(merged_t - gold)[:5]}, "
+        f"gold-only={sorted(gold - merged_t)[:5]}"
+    )
+
+
 def test_graph_tables_consistent(spark, transcripts_df, dictionary_df):
     res = build_kg(transcripts_df, dictionary_df)
     n_nodes = res.nodes.count()
