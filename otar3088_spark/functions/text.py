@@ -54,13 +54,36 @@ def is_header_expr(col: Column) -> Column:
     return low.rlike(rf"^({_HEADER_TITLES})$") | low.rlike(r"^pmc[0-9]+$")
 
 
-def sentence_split_expr(clean_col: Column) -> Column:
-    """Split cleaned text into sentences on ``[.!?]`` + single space.
+# Protected abbreviations: a period after one of these never ends a sentence.
+# Mirrors the reference's scispacy sentencizer behavior on biomedical prose
+# (split2sent_par.py:184-208 — spaCy's sentencizer does not split after
+# "e.g.", "Fig. 2", "et al.", initials). Kept as a fixed-width-per-alternative
+# negative-lookbehind chain so the same pattern compiles in Java (Catalyst
+# split) and Python (oracle re.split).
+SENTENCE_ABBREVS = (
+    "e.g.", "i.e.", "et al.", "cf.", "vs.", "ca.", "approx.",
+    "Fig.", "fig.", "Figs.", "Dr.", "No.", "Eq.", "Ref.",
+)
 
-    Uses a zero-width lookbehind so the terminal punctuation stays attached —
-    which keeps character offsets exactly reconstructible.
+
+def sentence_boundary_pattern() -> str:
+    """The shared sentence-boundary regex: ``[.!?]`` + space, suppressed after
+    a protected abbreviation or a single capital initial ("J. Smith")."""
+    guards = "".join(
+        r"(?<!\b" + a.replace(".", r"\.") + ")" for a in SENTENCE_ABBREVS
+    )
+    return r"(?<=[.!?])" + guards + r"(?<!\b[A-Z]\.) "
+
+
+def sentence_split_expr(clean_col: Column) -> Column:
+    """Split cleaned text into sentences on ``[.!?]`` + single space, with
+    abbreviation protection (F9).
+
+    Uses zero-width lookbehinds so the terminal punctuation stays attached —
+    which keeps character offsets exactly reconstructible (parts re-join with
+    single spaces to the original cleaned text).
     """
-    return F.split(clean_col, r"(?<=[.!?]) ")
+    return F.split(clean_col, sentence_boundary_pattern())
 
 
 def offsets_expr(parts: Column) -> Column:

@@ -34,9 +34,21 @@ def clean_text(s: str) -> str:
     return s.strip()
 
 
+_ABBREVS = (
+    "e.g.", "i.e.", "et al.", "cf.", "vs.", "ca.", "approx.",
+    "Fig.", "fig.", "Figs.", "Dr.", "No.", "Eq.", "Ref.",
+)
+_SENT_BOUNDARY = re.compile(
+    r"(?<=[.!?])"
+    + "".join(r"(?<!\b" + a.replace(".", r"\.") + ")" for a in _ABBREVS)
+    + r"(?<!\b[A-Z]\.) "
+)
+
+
 def sentences_of(clean: str) -> list[tuple[int, str]]:
-    """[(char_start, sent_text)] — same lookbehind split as the engine."""
-    parts = re.split(r"(?<=[.!?]) ", clean)
+    """[(char_start, sent_text)] — same abbreviation-guarded lookbehind split
+    as the engine (functions/text.py sentence_boundary_pattern)."""
+    parts = _SENT_BOUNDARY.split(clean)
     out, cur = [], 0
     for p in parts:
         if len(p) > 0:

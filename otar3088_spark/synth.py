@@ -126,14 +126,25 @@ def transcripts_pandas(n_convs: int = 40, seed: int = SEED) -> pd.DataFrame:
                 for _ in range(int(rng.randint(0, 3))):
                     pos = int(rng.randint(0, len(words) + 1))
                     words.insert(pos, _mention_surface(rng, terms[rng.randint(len(terms))]))
-                # noise: latex group / command / citation / double space
-                noise = rng.randint(6)
+                # noise: latex group / command / citation / double space /
+                # abbreviation traps for the sentencizer guard (F9)
+                noise = rng.randint(10)
                 if noise == 0:
                     words.insert(0, "{\\it latexnoise}")
                 elif noise == 1:
                     words.append("[1, 23]")
                 elif noise == 2:
                     words.insert(len(words) // 2, "\\textbf")
+                elif noise == 4:
+                    words.insert(len(words) // 3, "e.g.")
+                elif noise == 5:
+                    k = len(words) // 2
+                    words[k:k] = ["Smith", "et", "al.", "reported"]
+                elif noise == 6:
+                    k = len(words) // 2
+                    words[k:k] = ["(see", "Fig.", "2)"]
+                elif noise == 7:
+                    words.insert(len(words) // 2, "J.")  # single initial
                 sent = " ".join(words) + "."
                 if noise == 3:
                     sent = sent.replace(" ", "  ", 1)  # double space
