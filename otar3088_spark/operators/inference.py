@@ -100,6 +100,77 @@ def model_mentions(
     return sentences.select(*cols).mapInPandas(run, schema=MENTION_SCHEMA)
 
 
+def align_subword_labels_expr(word_ids, word_tags):
+    """F13 subword label alignment (reference Ner_Pipeline
+    tokenization_utils.py:6-47): expand word-level BIO tags onto a subword
+    stream the way HF ``word_ids()`` alignment does —
+
+    * special tokens (NULL word_id)             -> ``-100`` (ignore index)
+    * first subword of a word                   -> the word's tag
+    * continuation subwords (same word_id)      -> ``B-X`` demoted to ``I-X``
+
+    Inputs are array columns: ``word_ids array<int>`` (NULL = special),
+    ``word_tags array<string>`` (word-level). Pure Catalyst — a zip_with
+    against a right-shifted copy of word_ids supplies the 'previous word_id'
+    the reference reads off the HF fast tokenizer.
+    """
+    from pyspark.sql import functions as F
+
+    shifted = F.concat(
+        F.array(F.lit(None).cast("int")),
+        F.slice(word_ids, 1, F.greatest(F.size(word_ids) - 1, F.lit(0))),
+    )
+
+    def tag(id_, prev_):
+        word_tag = F.element_at(word_tags, id_ + 1)
+        return (
+            F.when(id_.isNull(), F.lit("-100"))
+            .when(prev_.isNull() | (prev_ != id_), word_tag)
+            .otherwise(F.regexp_replace(word_tag, "^B-", "I-"))
+        )
+
+    return F.when(F.size(word_ids) == 0, F.array().cast("array<string>")).otherwise(
+        F.zip_with(word_ids, shifted, tag)
+    )
+
+
+def stand_in_subwords_expr(tokens_col, piece: int = 4):
+    """Deterministic stand-in for an HF fast tokenizer (so the F13 path is
+    exercised without transformers in the container): every word longer than
+    ``piece`` chars splits into ``piece``-char chunks, continuations prefixed
+    ``##``; a [CLS]/[SEP] special wraps the sequence with NULL word_ids.
+
+    Returns ``struct(subs array<string>, wids array<int>)`` — the exact
+    (tokens, word_ids) contract of ``tokenizer(..., is_split_into_words=True)``
+    + ``word_ids()``. Pure Catalyst: nested transform + flatten.
+    """
+    from pyspark.sql import functions as F
+
+    def n_pieces(tok):
+        return F.greatest(F.ceil(F.length(tok) / piece).cast("int"), F.lit(1))
+
+    def chunks(tok):
+        return F.transform(
+            F.sequence(F.lit(0), n_pieces(tok) - 1),
+            lambda j: F.when(j == 0, tok.substr(F.lit(1), F.lit(piece))).otherwise(
+                F.concat(F.lit("##"), tok.substr(j * piece + 1, F.lit(piece)))
+            ),
+        )
+
+    subs_nested = F.transform(tokens_col, chunks)
+    wids_nested = F.transform(
+        tokens_col,
+        lambda tok, i: F.transform(F.sequence(F.lit(0), n_pieces(tok) - 1), lambda _j: i),
+    )
+    null_id = F.array(F.lit(None).cast("int"))
+    return F.struct(
+        F.concat(
+            F.array(F.lit("[CLS]")), F.flatten(subs_nested), F.array(F.lit("[SEP]"))
+        ).alias("subs"),
+        F.concat(null_id, F.flatten(wids_nested), null_id).alias("wids"),
+    )
+
+
 def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Entity-link candidate generation for model-scored mentions — the
     north-star 'link-score disambiguation' stage (reference lineage:

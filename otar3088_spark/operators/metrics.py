@@ -74,6 +74,124 @@ def span_prf_partial(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def _classify_side(left: DataFrame, right: DataFrame, group_label: bool) -> DataFrame:
+    """Classify every LEFT span against the RIGHT side: one row per left span
+    with flags (exact boundary match, exact+label, any overlap, overlap+label).
+    Overlap join uses the sentence equi-prefix (J8 shape, never cartesian)."""
+    l = left.select(*SPAN_KEY).distinct().alias("l")
+    r = right.select(*SPAN_KEY).distinct().alias("r")
+    cond = (
+        (F.col("l.conv_id") == F.col("r.conv_id"))
+        & (F.col("l.turn_idx") == F.col("r.turn_idx"))
+        & (F.col("l.sent_idx") == F.col("r.sent_idx"))
+        & (F.col("l.start") < F.col("r.end"))
+        & (F.col("r.start") < F.col("l.end"))
+    )
+    if group_label:
+        # per-entity mode mirrors nervaluate's per-type tables: both sides
+        # are restricted to the same entity type before matching
+        cond = cond & (F.col("l.label") == F.col("r.label"))
+    j = l.join(r, cond, "left")
+    exact = (F.col("l.start") == F.col("r.start")) & (F.col("l.end") == F.col("r.end"))
+    lab_eq = F.col("l.label") == F.col("r.label")
+    keys = [F.col(f"l.{c}") for c in SPAN_KEY]
+    return (
+        j.groupBy(*keys)
+        .agg(
+            F.max(F.coalesce(exact, F.lit(False))).alias("exact"),
+            F.max(F.coalesce(exact & lab_eq, F.lit(False))).alias("exact_lab"),
+            F.max(F.col("r.start").isNotNull()).alias("ov"),
+            F.max(F.coalesce(lab_eq, F.lit(False))).alias("ov_lab"),
+        )
+        .withColumn("grp", F.col("label") if group_label else F.lit("ALL"))
+    )
+
+
+def nervaluate_4way(
+    pred: DataFrame, gold: DataFrame, per_label: bool = False
+) -> DataFrame:
+    """nervaluate-style 4-schema span evaluation (reference metrics.py:62-101,
+    133-195): one row per schema in {strict, exact, partial, ent_type}
+    (× entity label when ``per_label``) with COR/INC/PAR/MIS/SPU counts and
+    precision/recall/F1 (partial matches weighted 0.5).
+
+    Schema rules per classified span:
+      strict   — COR: exact boundaries + same label; INC: any other overlap
+      exact    — COR: exact boundaries (label ignored); INC: partial overlap
+      partial  — COR: exact boundaries; PAR: partial overlap (weight 0.5)
+      ent_type — COR: any overlap with same label;   INC: overlap, wrong label
+      no overlap at all — SPU (pred side) / MIS (gold side)
+
+    Precision is computed from the prediction-side classification, recall
+    from the gold-side classification; when the pred↔gold overlap pairing is
+    1:1 (the common case — pipeline output has non-overlapping spans per
+    sentence) this coincides exactly with nervaluate's paired counting.
+    Everything is two overlap joins + small aggregates — no driver loops.
+    """
+    schemas = ("strict", "exact", "partial", "ent_type")
+
+    def melt(side: DataFrame) -> DataFrame:
+        def flags(schema):
+            e, el, ov, ovl = (F.col("exact"), F.col("exact_lab"), F.col("ov"), F.col("ov_lab"))
+            if schema == "strict":
+                cor, par = el, F.lit(False)
+                inc = ov & ~el
+            elif schema == "exact":
+                cor, par = e, F.lit(False)
+                inc = ov & ~e
+            elif schema == "partial":
+                cor, par = e, ov & ~e
+                inc = F.lit(False)
+            else:  # ent_type
+                cor, par = ovl, F.lit(False)
+                inc = ov & ~ovl
+            return F.struct(
+                F.lit(schema).alias("schema"),
+                cor.cast("int").alias("cor"),
+                inc.cast("int").alias("inc"),
+                par.cast("int").alias("par"),
+                (~F.col("ov")).cast("int").alias("unmatched"),
+            )
+
+        fan = F.array(*[flags(s) for s in schemas])
+        return (
+            side.select("grp", F.explode(fan).alias("s"))
+            .groupBy("grp", F.col("s")["schema"].alias("schema"))
+            .agg(
+                F.sum(F.col("s")["cor"]).alias("cor"),
+                F.sum(F.col("s")["inc"]).alias("inc"),
+                F.sum(F.col("s")["par"]).alias("par"),
+                F.sum(F.col("s")["unmatched"]).alias("unmatched"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    p_side = melt(_classify_side(pred, gold, per_label))
+    g_side = melt(_classify_side(gold, pred, per_label)).select(
+        "grp", "schema",
+        F.col("cor").alias("g_cor"), F.col("par").alias("g_par"),
+        F.col("unmatched").alias("mis"), F.col("n").alias("possible"),
+    )
+    out = p_side.withColumnRenamed("unmatched", "spu").withColumnRenamed(
+        "n", "actual"
+    ).join(g_side, ["grp", "schema"], "full_outer").na.fill(0)
+    prec = F.when(
+        F.col("actual") > 0, (F.col("cor") + 0.5 * F.col("par")) / F.col("actual")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("possible") > 0,
+        (F.col("g_cor") + 0.5 * F.col("g_par")) / F.col("possible"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when((prec + rec) > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("grp").alias("label"),
+        "schema", "cor", "inc", "par", "mis", "spu", "actual", "possible",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 def triple_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """Order-insensitive (subj, pred, obj) set P/R/F1 — the BASELINE gate."""
     key = ["subj", "pred", "obj"]

@@ -112,13 +112,15 @@ def filter_all_o(iob: DataFrame) -> DataFrame:
     return iob.filter(F.exists("tags", lambda t: t != "O"))
 
 
-def iob_to_spans(iob: DataFrame) -> DataFrame:
+def iob_to_spans(iob: DataFrame, merge_subwords: bool = False) -> DataFrame:
     """W5 BIO merge: token/tag arrays -> (start_pos, end_pos, label) spans.
 
     Each B- position opens a span that runs through the consecutive
-    continuation (I-<label>) tags; the reference's ``##`` subword merge
-    collapses into the same run because subwords carry I- tags
-    (trial_to_papers.ipynb cell 11)."""
+    continuation (I-<label>) tags; subwords carry I- tags so they collapse
+    into the same run (trial_to_papers.ipynb cell 11). With
+    ``merge_subwords=True`` the F19 ``##`` subword merge is applied to the
+    reconstructed span text (``"HeLa cell ##s" -> "HeLa cells"``), for IOB
+    streams produced at subword granularity (align_subword_labels_expr)."""
     tags, toks = F.col("tags"), F.col("tokens")
     idxs = F.sequence(F.lit(0), F.size(tags) - 1)
     b_pos = F.filter(idxs, lambda i: F.try_element_at(tags, i + 1).startswith("B-"))
@@ -131,10 +133,13 @@ def iob_to_spans(iob: DataFrame) -> DataFrame:
             idxs, lambda j: (j > b) & (F.try_element_at(tags, j + 1) != i_tag)
         )
         end_pos = F.coalesce(F.array_min(stops), F.size(tags)) - 1
+        text = F.concat_ws(" ", F.slice(toks, b + 1, end_pos - b + 1))
+        if merge_subwords:
+            text = F.regexp_replace(text, " ##", "")
         return F.struct(
             b.alias("start_pos"),
             end_pos.alias("end_pos"),
-            F.concat_ws(" ", F.slice(toks, b + 1, end_pos - b + 1)).alias("text"),
+            text.alias("text"),
             label.alias("label"),
         )
 

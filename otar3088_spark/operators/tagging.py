@@ -82,7 +82,11 @@ def tokenize_sentences(sentences: DataFrame) -> DataFrame:
     return df.withColumn("keys_ds", F.transform(F.col("keys"), destem_expr))
 
 
-def tag_mentions(sentences: DataFrame, dictionary: DataFrame) -> DataFrame:
+def tag_mentions(
+    sentences: DataFrame,
+    dictionary: DataFrame,
+    max_prefilter_terms: int = 50_000,
+) -> DataFrame:
     """Detect dictionary mentions in sentences; returns one row per span.
 
     Output: ``conv_id, turn_idx, sent_idx, start, end, surface, term, label,
@@ -92,12 +96,18 @@ def tag_mentions(sentences: DataFrame, dictionary: DataFrame) -> DataFrame:
     """
     # --- plan-time dictionary stats -----------------------------------------
     # The dictionary is a broadcast dim by design, so collecting its distinct
-    # first tokens (anchor IN-set) at plan time is legitimate driver work.
-    # For dictionaries too large to collect, drop the IN-set pre-filter; the
-    # broadcast join below is unchanged.
-    firsts = sorted(
-        r["first_tok"] for r in dictionary.select("first_tok").distinct().collect()
-    )
+    # first tokens (anchor IN-set) at plan time is legitimate driver work —
+    # but only up to a point: a multi-million-term gazetteer would bloat the
+    # plan with a giant IN-list literal. Above ``max_prefilter_terms``
+    # distinct first tokens the pre-filter is skipped automatically (the
+    # broadcast hash join below prunes non-anchors just as correctly, one
+    # narrow stage later). The count is a cheap agg over the broadcast dim.
+    firsts: list[str] | None = None
+    n_firsts = dictionary.select("first_tok").distinct().count()
+    if n_firsts <= max_prefilter_terms:
+        firsts = sorted(
+            r["first_tok"] for r in dictionary.select("first_tok").distinct().collect()
+        )
 
     # --- stage 1: anchor detection (allocation-lean) ------------------------
     # The hot path is ALLOCATION-BANDWIDTH bound, not CPU bound: building
@@ -113,14 +123,21 @@ def tag_mentions(sentences: DataFrame, dictionary: DataFrame) -> DataFrame:
     )
     core = token_core_expr(F.col("tok"))
     key = F.lower(core)
-    anchors = (
-        toks_df.withColumn("key", key)
-        .withColumn("key_ds", destem_expr(F.col("key")))
-        .filter(
+    keyed = toks_df.withColumn("key", key).withColumn(
+        "key_ds", destem_expr(F.col("key"))
+    )
+    if firsts is not None:
+        keyed = keyed.filter(
             F.col("key").isin(firsts)
             | F.coalesce(F.col("key_ds").isin(firsts), F.lit(False))
         )
-        .select(
+    cand_filter = (
+        (lambda c: c["k"].isNotNull() & c["k"].isin(firsts))
+        if firsts is not None
+        else (lambda c: c["k"].isNotNull())
+    )
+    anchors = (
+        keyed.select(
             *key3,
             "pos0",
             F.explode(
@@ -129,7 +146,7 @@ def tag_mentions(sentences: DataFrame, dictionary: DataFrame) -> DataFrame:
                         F.struct(F.col("key").alias("k"), F.lit("exact").alias("v")),
                         F.struct(F.col("key_ds").alias("k"), F.lit("ds").alias("v")),
                     ),
-                    lambda c: c["k"].isNotNull() & c["k"].isin(firsts),
+                    cand_filter,
                 )
             ).alias("c"),
         )

@@ -286,3 +286,114 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     # determinism
     ap2 = {(r["q_id"], r["vec_id"]) for r in ann_lsh_topk(emb, probes, k=5, bits=6, num_tables=16).collect()}
     assert ap == ap2
+
+
+# ------------------------------------------------------------- F13 subwords
+
+
+def test_subword_alignment_and_merge(spark):
+    """F13 (word_ids -> -100 specials, B->I continuation) + F19 (## merge in
+    BIO decode) against a hand-computed fixture."""
+    from otar3088_spark.operators.inference import (
+        align_subword_labels_expr,
+        stand_in_subwords_expr,
+    )
+    from otar3088_spark.operators.spans import iob_to_spans
+
+    df = spark.createDataFrame(
+        [("c1", 0, 0, ["HeLa", "cells", "proliferate", "quickly"],
+          ["B-CellLine", "I-CellLine", "O", "O"])],
+        "conv_id string, turn_idx int, sent_idx int, "
+        "tokens array<string>, tags array<string>",
+    )
+    sw = df.withColumn("sw", stand_in_subwords_expr(F.col("tokens")))
+    out = sw.select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.col("sw")["subs"].alias("subs"),
+        F.col("sw")["wids"].alias("wids"),
+        align_subword_labels_expr(F.col("sw")["wids"], F.col("tags")).alias("subtags"),
+    )
+    r = out.collect()[0]
+    assert r["subs"] == ["[CLS]", "HeLa", "cell", "##s", "prol", "##ifer",
+                         "##ate", "quic", "##kly", "[SEP]"]
+    assert r["wids"] == [None, 0, 1, 1, 2, 2, 2, 3, 3, None]
+    assert r["subtags"] == ["-100", "B-CellLine", "I-CellLine", "I-CellLine",
+                            "O", "O", "O", "O", "O", "-100"]
+
+    # decode at subword granularity: strip specials, BIO-merge, ## merge
+    z = F.filter(
+        F.arrays_zip(F.col("subs"), F.col("subtags")),
+        lambda p: p["subtags"] != "-100",
+    )
+    iob = out.select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.transform(z, lambda p: p["subs"]).alias("tokens"),
+        F.transform(z, lambda p: p["subtags"]).alias("tags"),
+    )
+    spans = iob_to_spans(iob, merge_subwords=True).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s["start_pos"], s["end_pos"], s["text"], s["label"]) == (
+        0, 2, "HeLa cells", "CellLine",
+    )
+
+
+# ------------------------------------------------------- nervaluate 4-way
+
+
+def test_nervaluate_4way_hand_computed(spark):
+    """4-schema counts on a fixture with an exact match, a partial-overlap
+    mislabel, a spurious pred, and a missed gold (reference metrics.py
+    nervaluate semantics)."""
+    from otar3088_spark.operators.metrics import nervaluate_4way
+
+    cols = "conv_id string, turn_idx int, sent_idx int, start int, end int, label string"
+    gold = spark.createDataFrame(
+        [("c1", 0, 0, 0, 4, "CellLine"),
+         ("c1", 0, 0, 10, 20, "Drug"),
+         ("c1", 0, 0, 30, 35, "Tissue")], cols)
+    pred = spark.createDataFrame(
+        [("c1", 0, 0, 0, 4, "CellLine"),   # exact + label
+         ("c1", 0, 0, 12, 18, "Tissue"),   # overlaps Drug gold, wrong label
+         ("c1", 0, 0, 50, 55, "Drug")], cols)  # spurious
+
+    rows = {r["schema"]: r for r in nervaluate_4way(pred, gold).collect()}
+    exp = {
+        "strict":   dict(cor=1, inc=1, par=0, mis=1, spu=1, precision=0.333333, recall=0.333333),
+        "exact":    dict(cor=1, inc=1, par=0, mis=1, spu=1, precision=0.333333, recall=0.333333),
+        "partial":  dict(cor=1, inc=0, par=1, mis=1, spu=1, precision=0.5, recall=0.5),
+        "ent_type": dict(cor=1, inc=1, par=0, mis=1, spu=1, precision=0.333333, recall=0.333333),
+    }
+    for schema, want in exp.items():
+        got = rows[schema]
+        for k, v in want.items():
+            assert got[k] == v, f"{schema}.{k}: got {got[k]}, want {v}"
+        assert got["actual"] == 3 and got["possible"] == 3
+
+    # per-entity breakdown: CellLine perfect, Drug/Tissue zero
+    per = {(r["label"], r["schema"]): r for r in
+           nervaluate_4way(pred, gold, per_label=True).collect()}
+    assert per[("CellLine", "strict")]["f1"] == 1.0
+    assert per[("Drug", "strict")]["precision"] == 0.0
+    assert per[("Tissue", "partial")]["recall"] == 0.0
+
+
+# ------------------------------------------------ gazetteer prefilter fallback
+
+
+def test_tagging_prefilter_fallback_equivalence(spark):
+    """tag_mentions must produce identical spans with the anchor IN-set
+    prefilter ON (small dictionaries) and OFF (auto-fallback for gazetteers
+    too large to inline into the plan)."""
+    from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions
+    from otar3088_spark.synth import entity_dictionary_pandas, transcripts_pandas
+    from otar3088_spark.operators.sentencize import normalize_turns, sentencize
+
+    sents = sentencize(normalize_turns(spark.createDataFrame(transcripts_pandas(n_convs=6))))
+    d = prepare_dictionary(spark.createDataFrame(entity_dictionary_pandas()))
+    with_pf = tag_mentions(sents, d)  # default threshold: prefilter on
+    without_pf = tag_mentions(sents, d, max_prefilter_terms=0)  # forced fallback
+    key = ["conv_id", "turn_idx", "sent_idx", "start", "end", "label", "ent_id"]
+    a = {tuple(r) for r in with_pf.select(*key).collect()}
+    b = {tuple(r) for r in without_pf.select(*key).collect()}
+    assert a == b and len(a) > 0
