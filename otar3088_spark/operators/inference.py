@@ -100,6 +100,64 @@ def model_mentions(
     return sentences.select(*cols).mapInPandas(run, schema=MENTION_SCHEMA)
 
 
+CLASSIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("sent_idx", T.IntegerType()),
+        T.StructField("cls", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+_CLASSES = ("background", "method", "result", "adverse_event")
+
+
+def _stand_in_classifier(sentences: pd.Series) -> list[tuple[str, float]]:
+    """Deterministic pseudo sequence-classifier: class + score from the md5
+    of the normalized sentence. Same md5 family as the NER stand-in so the
+    DuckDB oracle can replay it."""
+    out = []
+    for sent in sentences:
+        h = hashlib.md5(sent.strip().lower().encode()).digest()
+        out.append((_CLASSES[h[0] % len(_CLASSES)], round(0.5 + h[1] / 512.0, 4)))
+    return out
+
+
+def model_classify(
+    sentences: DataFrame,
+    classifier: Callable[[pd.Series], list[tuple[str, float]]] | None = None,
+    batch_key: str = "seqcls",
+) -> DataFrame:
+    """M2 sequence classification (reference model_tests.ipynb cell 6 runs a
+    sequence head in the same torch loop as token classification): one
+    (class, score) per sentence row, Arrow-batched mapInPandas with the same
+    per-executor-singleton loading discipline as ``model_mentions``. A real
+    HF ``pipeline("text-classification")`` plugs in via ``classifier=``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _MODEL_SINGLETON.get(batch_key)
+        if model is None:
+            model = classifier or _stand_in_classifier
+            _MODEL_SINGLETON[batch_key] = model
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            preds = model(pdf["sent_text"])
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].astype("int32").values,
+                    "sent_idx": pdf["sent_idx"].astype("int32").values,
+                    "cls": [c for c, _ in preds],
+                    "score": [s for _, s in preds],
+                }
+            )
+
+    cols = ["conv_id", "turn_idx", "sent_idx", "sent_text"]
+    return sentences.select(*cols).mapInPandas(run, schema=CLASSIFY_SCHEMA)
+
+
 def align_subword_labels_expr(word_ids, word_tags):
     """F13 subword label alignment (reference Ner_Pipeline
     tokenization_utils.py:6-47): expand word-level BIO tags onto a subword

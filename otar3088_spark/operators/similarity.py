@@ -1,20 +1,28 @@
 """Similarity search over embedding columns — brute-force + LSH scale path.
 
 * ``cosine_topk``      — exact brute-force top-k for a (small, broadcast)
-  probe set: `zip_with` dot products, all JVM. The baseline; O(|probes|·|corpus|).
-* ``rp_lsh_buckets``   — random-hyperplane LSH signatures, deterministically
-  derived: hyperplane b's i-th component is ``sign(xxhash64(seed, b, i))``,
-  so the "random" projection is a pure column expression (no driver-side
-  matrix, stable across runs/partitions). sig bit b = sign(emb · h_b).
-* ``ann_lsh_topk``     — the scale path: bucket-join probes to corpus rows
+  probe set: `zip_with` dot products, all JVM, norms hoisted to one column
+  per side (never recomputed per pair). The baseline; O(|probes|·|corpus|).
+* ``rp_lsh_signatures_expr`` — ALL ``num_tables`` random-hyperplane
+  signatures of a vector in ONE expression: the hyperplane matrix is a
+  constant-folded literal, the projections run as nested index-based folds
+  (no per-plane array allocation, plan size independent of tables × bits).
+* ``build_lsh_index`` — the materialized ANN index: one pass over the corpus
+  producing the exploded ``(vec_id, tbl, sig, c_emb, c_norm)`` table. At
+  100 TB this is written once (parquet/Iceberg, partitioned by (tbl, sig))
+  and reused by every query batch — signatures are NOT rebuilt per query.
+* ``ann_lsh_topk``     — the scale path: bucket-join probes to index rows
   sharing an LSH signature (optionally multi-probe over Hamming-1
-  neighbors), exact-cosine verify within candidates, window top-k. At 100 TB
-  the shuffle keys are the 2^bits buckets — candidates only, never the
-  cross product.
+  neighbors), exact-cosine verify within candidates, window top-k. The
+  shuffle keys are the 2^bits × tables buckets — candidates only, never the
+  cross product. ``bits`` must grow with the corpus (bucket occupancy
+  |corpus| / 2^bits is the candidate-volume knob); see BENCH/ANN_CROSSOVER.md
+  for the measured brute-vs-LSH crossover.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,15 +57,25 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k: broadcast probes against the corpus. Returns
-    (q_id, vec_id, cos, rnk)."""
+    (q_id, vec_id, cos, rnk). Norms are hoisted into one column per side
+    before the join — computed |corpus| + |probes| times, not per pair."""
     p = F.broadcast(
-        probes.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+        probes.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_emb"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+        )
     )
-    pairs = corpus.alias("x").join(p, F.col(f"x.{id_col}") != F.col("q_id"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_emb"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    pairs = c.join(p, F.col("vec_id") != F.col("q_id"))
     scored = pairs.select(
         "q_id",
-        F.col(f"x.{id_col}").alias("vec_id"),
-        cosine_expr(F.col(f"x.{vec_col}"), F.col("q_emb")).alias("cos"),
+        "vec_id",
+        (_dot(F.col("c_emb"), F.col("q_emb")) / (F.col("c_norm") * F.col("q_norm"))).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -67,39 +85,116 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(bits: int, dim: int, seed: int):
+def _hyperplanes(n_planes: int, dim: int, seed: int):
     """Deterministic ±1 hyperplanes as plain Python lists (driver-side; the
-    dictionary-of-hyperplanes is index metadata, like a broadcast dim)."""
+    hyperplane matrix is index metadata, like a broadcast dim)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    return (rng.randint(0, 2, size=(bits, dim)) * 2 - 1).astype(float).tolist()
+    return (rng.randint(0, 2, size=(n_planes, dim)) * 2 - 1).astype(float).tolist()
 
 
-def rp_lsh_signature_expr(vec: Column, bits: int = 12, seed: int = 42, dim: int = 64) -> Column:
-    """Integer LSH signature (random-hyperplane signs).
+def rp_lsh_signatures_expr(
+    vec: Column, bits: int, num_tables: int, seed: int = 42, dim: int = 64
+) -> Column:
+    """``array<int>`` of ``num_tables`` LSH signatures for one vector.
 
-    Hyperplanes are embedded as LITERAL arrays so Catalyst constant-folds
-    them — one zip_with+fold per bit per row, no per-row hyperplane
-    regeneration (the naive transform(sequence(...), hash) variant allocated
-    bits x dim expressions per row and was 5-10x slower)."""
-    planes = _hyperplanes(bits, dim, seed)
-    sig = F.lit(0).cast("int")
-    for b in range(bits):
-        h = F.array(*[F.lit(x) for x in planes[b]])
-        proj = F.aggregate(
-            F.zip_with(vec, h, lambda v, hv: v.cast("double") * hv),
+    The (num_tables·bits) × dim hyperplane matrix is embedded as one literal
+    (constant-folded by Catalyst); signatures are packed with nested
+    index-based folds — element_at reads, no intermediate arrays per plane.
+    Plan node count is CONSTANT in tables × bits (the round-1 version built
+    tables × bits separate aggregate trees and spent its time in plan
+    compilation + per-plane allocations)."""
+    planes = _hyperplanes(num_tables * bits, dim, seed)
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+
+    def dot_plane(pidx):
+        # pidx: 1-based plane index Column
+        h = F.element_at(planes_lit, pidx)
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
             F.lit(0.0),
-            lambda acc, v: acc + v,
+            lambda acc, i: acc + F.element_at(vec, i).cast("double") * F.element_at(h, i),
         )
-        sig = sig + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return sig
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(
+                dot_plane(t * F.lit(bits) + b + 1) >= 0,
+                F.pow(F.lit(2.0), b).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+    )
 
 
 def rp_lsh_buckets(
     df: DataFrame, bits: int = 12, seed: int = 42, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
-    return df.withColumn("lsh", rp_lsh_signature_expr(F.col(vec_col), bits, seed, dim))
+    """Single-table signature column (kept for bucketing use cases)."""
+    sig = F.element_at(rp_lsh_signatures_expr(F.col(vec_col), bits, 1, seed, dim), 1)
+    return df.withColumn("lsh", sig)
+
+
+def rp_lsh_signatures_udf(
+    bits: int, num_tables: int, seed: int = 42, dim: int = 64
+):
+    """Arrow-vectorized signature computation — the DEFAULT path.
+
+    One numpy matmul per Arrow batch: X(batch×dim) @ H(dim×planes), sign,
+    bit-pack per table. The hyperplane matrix lives in the UDF closure, NOT
+    in the plan (the pure-expression variant embeds a tables·bits·dim
+    literal whose driver-side analysis + interpreted HOF eval dominated
+    round-1 cost). This is batch-vectorized Arrow — not per-row Python — and
+    is the same sanctioned surface as model inference (SURVEY.md §2.9).
+    """
+    import numpy as np
+
+    H = np.array(_hyperplanes(num_tables * bits, dim, seed)).T  # dim × planes
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def sigs(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        X = np.vstack(emb.to_numpy())  # batch × dim
+        B = (X.astype(np.float64) @ H >= 0).astype(np.int64)  # batch × planes
+        S = B.reshape(len(X), num_tables, bits) @ weights  # batch × tables
+        return pd.Series(list(S.astype(np.int32)))
+
+    return sigs
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    bits: int = 6,
+    num_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The ANN index: ``(vec_id, tbl, sig, c_emb, c_norm)`` — one narrow pass
+    over the corpus (signatures + norm computed once per vector), exploded to
+    one row per (vector, table). Persist or write this ONCE per corpus
+    snapshot; every query batch joins against it. On a cluster, write
+    partitioned/bucketed by (tbl, sig) so probe joins prune partitions.
+    ``use_arrow=False`` switches to the pure-Catalyst signature expression
+    (zero Python, but tables·bits·dim literal in the plan)."""
+    if use_arrow:
+        sigs = rp_lsh_signatures_udf(bits, num_tables, seed, dim)(F.col(vec_col))
+    else:
+        sigs = rp_lsh_signatures_expr(F.col(vec_col), bits, num_tables, seed, dim)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_emb"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        F.posexplode(sigs).alias("tbl", "sig"),
+    )
 
 
 def ann_lsh_topk(
@@ -113,42 +208,43 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    index: DataFrame | None = None,
+    persist_index: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH bucket join -> exact verify ->
     window top-k.
 
-    ``num_tables`` independent signature tables (seed-offset hyperplane
-    sets) union their candidate sets — the standard recall lever for
-    random-hyperplane LSH; ``multiprobe`` additionally probes all Hamming-1
-    neighbor buckets per table. Candidate volume ~ num_tables x bucket size
-    x (1 + bits if multiprobe); never the cross product.
-    Returns (q_id, vec_id, cos, rnk); approximate — rnk within candidates.
+    ``index``: a prebuilt ``build_lsh_index`` table (the production path —
+    built once per corpus snapshot). When absent it is built here and
+    persisted so the single query computes corpus signatures exactly once.
+    ``num_tables`` independent hyperplane sets union their candidate sets;
+    ``multiprobe`` additionally probes all Hamming-1 neighbor buckets per
+    table. Candidate volume ~ num_tables × (|corpus| / 2^bits) × (1 + bits
+    if multiprobe) per probe — size ``bits`` to the corpus so this stays a
+    small fraction of |corpus|. Returns (q_id, vec_id, cos, rnk);
+    approximate — rnk within candidates.
     """
+    c = index if index is not None else build_lsh_index(
+        corpus, bits, num_tables, seed, id_col, vec_col, dim, use_arrow
+    )
+    if index is None and persist_index:
+        c = c.persist()
 
-    def keyed(df, ident, emb_alias):
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    rp_lsh_signature_expr(F.col(vec_col), bits, seed + 1000 * t, dim).alias("sig"),
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(ident),
-            F.col(vec_col).alias(emb_alias),
-            F.explode(tables).alias("ts"),
-        ).select(ident, emb_alias, F.col("ts")["tbl"].alias("tbl"), F.col("ts")["sig"].alias("sig"))
-
-    c = keyed(corpus, "vec_id", "c_emb")
-    p = keyed(probes, "q_id", "q_emb")
+    if use_arrow:
+        q_sigs = rp_lsh_signatures_udf(bits, num_tables, seed, dim)(F.col(vec_col))
+    else:
+        q_sigs = rp_lsh_signatures_expr(F.col(vec_col), bits, num_tables, seed, dim)
+    p = probes.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.posexplode(q_sigs).alias("tbl", "sig"),
+    )
     if multiprobe:
         flips = F.array(*[F.lit(0)] + [F.lit(1 << b) for b in range(bits)])
         p = p.select(
-            "q_id",
-            "q_emb",
-            "tbl",
+            "q_id", "q_emb", "q_norm", "tbl",
             F.explode(
                 F.transform(flips, lambda m: F.col("sig").bitwiseXOR(m.cast("int")))
             ).alias("sig"),
@@ -157,7 +253,7 @@ def ann_lsh_topk(
     scored = cand.select(
         "q_id",
         "vec_id",
-        cosine_expr(F.col("c_emb"), F.col("q_emb")).alias("cos"),
+        (_dot(F.col("c_emb"), F.col("q_emb")) / (F.col("c_norm") * F.col("q_norm"))).alias("cos"),
     ).dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (

@@ -30,14 +30,14 @@ toks_raw AS (
     FROM documents
 ),
 toks AS (
-    SELECT doc_id, pos::INT AS pos, length(tok_raw) AS rawlen,
+    SELECT doc_id, pos::INT AS pos, tok_raw, length(tok_raw) AS rawlen,
            length(tok_raw) - length(regexp_replace(tok_raw, '^[(\\["'']+', '')) AS lead,
            lower(regexp_replace(regexp_replace(tok_raw, '^[(\\["'']+', ''),
                                 '[)\\].,;:!?"'']+$', '')) AS key
     FROM toks_raw
 ),
 keyed AS (
-    SELECT doc_id, pos, rawlen, lead, key, length(key) AS corelen,
+    SELECT doc_id, pos, tok_raw, rawlen, lead, key, length(key) AS corelen,
            CASE WHEN key LIKE '%''s' THEN substr(key, 1, length(key) - 2)
                 WHEN key LIKE '%s' AND length(key) > 3 THEN substr(key, 1, length(key) - 1)
                 ELSE NULL END AS key_ds,
@@ -229,6 +229,63 @@ ORACLE_SQL: dict[str, str] = {
         SELECT term, label, count(*) AS n_mentions,
                count(DISTINCT doc_id) AS n_docs
         FROM spans GROUP BY term, label ORDER BY term, label
+    """,
+    # span -> IOB -> span roundtrip: with core-extent tagging every span maps
+    # 1:1 onto its first/last covered token (no partial overlaps exist in the
+    # DOC_DICT vocabulary), so the roundtrip output is the tagging span set
+    # re-keyed to 0-based token positions with raw-token text.
+    "iob_roundtrip": _TAGGING_CTE
+    + """
+        SELECT s.doc_id,
+               (kb.pos - 1)::INT AS start_pos,
+               (ke.pos - 1)::INT AS end_pos,
+               (SELECT string_agg(t.tok_raw, ' ' ORDER BY t.pos)
+                  FROM keyed t
+                 WHERE t.doc_id = s.doc_id AND t.pos BETWEEN kb.pos AND ke.pos
+               ) AS text,
+               s.label
+        FROM spans s
+        JOIN keyed kb ON kb.doc_id = s.doc_id
+                     AND kb.rawstart + kb.lead = s.start
+        JOIN keyed ke ON ke.doc_id = s.doc_id
+                     AND ke.rawstart + ke.lead + ke.corelen = s."end"
+    """,
+    # deterministic stand-in scorer is md5-based, which DuckDB can evaluate:
+    # token length >= 4, md5 first byte < 16 (first hex digit '0'), label by
+    # second byte % 5, score 0.5 + third byte / 512.
+    "model_mentions": """
+        WITH toks_raw AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok_raw,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, pos::INT AS pos, tok_raw, length(tok_raw) AS rawlen,
+                   COALESCE(SUM(length(tok_raw) + 1) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS rawstart
+            FROM toks_raw
+        ),
+        hx AS (
+            SELECT *, md5(lower(tok_raw)) AS h FROM toks WHERE rawlen >= 4
+        ),
+        bytes AS (
+            SELECT doc_id, rawstart, rawlen, tok_raw,
+                   strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS d0,
+                   16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS byte1,
+                   16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) AS byte2
+            FROM hx
+        )
+        SELECT doc_id,
+               rawstart AS start,
+               (rawstart + rawlen)::INT AS "end",
+               tok_raw AS surface,
+               (['CellLine','CellType','Tissue','Drug','AdverseEvent'])[(byte1 % 5) + 1] AS label,
+               round(0.5 + byte2 / 512.0, 4) AS score
+        FROM bytes WHERE d0 = 0
     """,
     "fingerprint": """
         SELECT doc_id,

@@ -460,8 +460,10 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Rows-only queries (no SQL oracle — non-SQL-expressible ops; correctness is
-# covered by the pytest pandas-oracle differential suite instead)
+# Mostly rows-only queries (xxhash64-based signatures are not reproducible in
+# DuckDB; correctness covered by the pytest differential suite). Exceptions
+# now oracle-checked: iob_roundtrip (derivable from the tagging CTE) and
+# model_mentions (md5 stand-in scorer — DuckDB evaluates md5).
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,7 +581,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "connected_components": q_connected_components,
-    # rows-only (no SQL oracle; pytest differential coverage)
+    # xxhash64-based: rows-only (no SQL oracle; pytest differential coverage)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_buckets": q_simhash_buckets,
     "model_mentions": q_model_mentions,

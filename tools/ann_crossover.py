@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Brute-force vs LSH ANN crossover evidence (VERDICT r1 item 5).
+
+Generates a deterministic clustered embedding corpus (the regime ANN exists
+for — uniform random vectors have no meaningful neighbors), then measures at
+each corpus size:
+
+* exact ``cosine_topk`` (broadcast probes, hoisted norms) — the baseline;
+* ``build_lsh_index`` one-time cost (the index is built once per corpus
+  snapshot and reused by every query batch);
+* ``ann_lsh_topk`` against the prebuilt index (the per-query-batch cost);
+* recall@k of LSH vs brute force.
+
+``bits`` scales with the corpus (target bucket occupancy ~|corpus|/2^bits)
+— the knob that keeps candidate volume a small fraction of the corpus.
+Writes BENCH/ANN_CROSSOVER.md. Timings are warm best-of-2 (this box's
+wall-clock is bimodal).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def make_corpus(spark, n: int, dim: int = 64, n_clusters: int = 200, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim).astype(np.float32) * 3.0
+    assign = rng.randint(0, n_clusters, size=n)
+    X = centers[assign] + rng.randn(n, dim).astype(np.float32)
+    import pandas as pd
+
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)})
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    path = f"{root}/ann_corpus_{n}.parquet"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def best_of(fn, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from otar3088_spark.operators.similarity import (
+        ann_lsh_topk,
+        build_lsh_index,
+        cosine_topk,
+    )
+    from otar3088_spark.session import get_spark
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="ann-crossover", cores=cores)
+    noop = lambda df: df.write.mode("overwrite").format("noop").save()
+    spark.range(1000).count()  # JVM warm
+
+    sizes = [int(s) for s in (sys.argv[1:] or ["20000", "100000", "300000"])]
+    n_probes, k, tables = 100, 10, 16
+    rows = []
+    for n in sizes:
+        corpus = make_corpus(spark, n)
+        probes = corpus.filter(F.col("vec_id") < n_probes)
+        bits = max(6, int(math.ceil(math.log2(n / 48))))
+
+        brute = best_of(lambda: noop(cosine_topk(corpus, probes, k=k)))
+
+        t0 = time.perf_counter()
+        idx = build_lsh_index(corpus, bits=bits, num_tables=tables).persist()
+        idx.count()
+        build = time.perf_counter() - t0
+
+        q = lambda: noop(
+            ann_lsh_topk(corpus, probes, k=k, bits=bits, num_tables=tables, index=idx)
+        )
+        lsh = best_of(q)
+
+        ex = {
+            (r["q_id"], r["vec_id"])
+            for r in cosine_topk(corpus, probes, k=k).collect()
+        }
+        ap = {
+            (r["q_id"], r["vec_id"])
+            for r in ann_lsh_topk(
+                corpus, probes, k=k, bits=bits, num_tables=tables, index=idx
+            ).collect()
+        }
+        recall = len(ex & ap) / len(ex)
+        idx.unpersist()
+        rows.append((n, bits, brute, build, lsh, recall))
+        print(
+            f"n={n} bits={bits} brute={brute:.2f}s index_build={build:.2f}s "
+            f"lsh_query={lsh:.2f}s recall@{k}={recall:.3f}",
+            flush=True,
+        )
+
+    out = Path(__file__).resolve().parent.parent / "BENCH" / "ANN_CROSSOVER.md"
+    lines = [
+        "# Brute-force vs LSH ANN crossover",
+        "",
+        f"Clustered synthetic corpus (dim 64, 200 clusters, seed 7), {n_probes} probes,",
+        f"top-{k}, {tables} tables, Hamming-1 multiprobe, local[{cores}].",
+        "Timings: warm best-of-2 (bimodal wall-clock box). Index built ONCE per",
+        "corpus (persisted; on a cluster: parquet/Iceberg bucketed by (tbl, sig)),",
+        "queries measured against the prebuilt index — the production shape.",
+        "",
+        "| corpus | bits | brute (s) | index build (s) | LSH query (s) | recall@10 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, bits, brute, build, lsh, recall in rows:
+        lines.append(
+            f"| {n:,} | {bits} | {brute:.2f} | {build:.2f} | {lsh:.2f} | {recall:.3f} |"
+        )
+    lines += [
+        "",
+        "Brute force scans |corpus|·|probes| pairs per query batch; the LSH query",
+        "touches ~tables·(1+bits)·|corpus|/2^bits candidates per probe. The",
+        "crossover arrives as soon as the corpus outgrows the probe batch; the",
+        "index build amortizes across query batches.",
+    ]
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
