@@ -129,3 +129,19 @@ def destem_expr(key: Column) -> Column:
         .when(key.endswith("s") & (F.length(key) > 3), key.substr(F.lit(1), F.length(key) - 1))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def lemma_expr(key: Column, overrides: dict[str, str] | None = None) -> Column:
+    """F8 lemmatization of a lowercase match key: an irregular-form override
+    map first (``mice -> mouse``, ``feet -> foot`` — the forms the
+    reference's spaCy lemmatizer handles, labelstudio_e2e.py:181-187), then
+    the rule-based plural/possessive destem. The override map is a literal
+    ``create_map`` — constant-folded, broadcast-free, NULL when neither rule
+    applies (same contract as ``destem_expr``)."""
+    ds = destem_expr(key)
+    if not overrides:
+        return ds
+    m = F.create_map(
+        *[x for k, v in sorted(overrides.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    return F.coalesce(m[key], ds)

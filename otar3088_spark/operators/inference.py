@@ -54,7 +54,7 @@ def _stand_in_scorer(sentences: pd.Series) -> list[list[tuple[int, int, str, flo
                 h = hashlib.md5(tok.lower().encode()).digest()
                 if h[0] < 16:  # ~6% of tokens
                     label = _LABELS[h[1] % len(_LABELS)]
-                    score = 0.5 + (h[2] / 512.0)
+                    score = 0.5 + (h[2] / 1000.0)  # exact 3-decimal: no banker's-vs-away rounding skew vs SQL
                     spans.append((cur, cur + len(tok), label, round(score, 4)))
             cur += len(tok) + 1
         out.append(spans)
@@ -120,7 +120,7 @@ def _stand_in_classifier(sentences: pd.Series) -> list[tuple[str, float]]:
     out = []
     for sent in sentences:
         h = hashlib.md5(sent.strip().lower().encode()).digest()
-        out.append((_CLASSES[h[0] % len(_CLASSES)], round(0.5 + h[1] / 512.0, 4)))
+        out.append((_CLASSES[h[0] % len(_CLASSES)], round(0.5 + h[1] / 1000.0, 4)))
     return out
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from otar3088_spark.functions.text import (
     destem_expr,
+    lemma_expr,
     offsets_expr,
     token_core_expr,
     token_lead_expr,
@@ -86,6 +87,7 @@ def tag_mentions(
     sentences: DataFrame,
     dictionary: DataFrame,
     max_prefilter_terms: int = 50_000,
+    lemma_overrides: dict[str, str] | None = None,
 ) -> DataFrame:
     """Detect dictionary mentions in sentences; returns one row per span.
 
@@ -124,7 +126,7 @@ def tag_mentions(
     core = token_core_expr(F.col("tok"))
     key = F.lower(core)
     keyed = toks_df.withColumn("key", key).withColumn(
-        "key_ds", destem_expr(F.col("key"))
+        "key_ds", lemma_expr(F.col("key"), lemma_overrides)
     )
     if firsts is not None:
         keyed = keyed.filter(
@@ -179,7 +181,7 @@ def tag_mentions(
     last_dict = F.element_at("term_tokens", n)
     last_key = F.try_element_at(wkeys, n)
     last_ok = (last_key == last_dict) | (
-        F.coalesce(destem_expr(last_key), F.lit("")) == last_dict
+        F.coalesce(lemma_expr(last_key, lemma_overrides), F.lit("")) == last_dict
     )
     match = F.when(n == 1, F.lit(True)).otherwise(in_bounds & mid_ok & last_ok)
     j = (

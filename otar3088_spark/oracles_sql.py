@@ -250,9 +250,25 @@ ORACLE_SQL: dict[str, str] = {
         JOIN keyed ke ON ke.doc_id = s.doc_id
                      AND ke.rawstart + ke.lead + ke.corelen = s."end"
     """,
+    # M2 stand-in classifier: class from md5 byte0 % 4, score from byte1
+    "seq_classify": """
+        WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS hx FROM documents),
+        b AS (
+            SELECT doc_id,
+                   16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS byte0,
+                   16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS byte1
+            FROM h
+        )
+        SELECT doc_id,
+               (['background','method','result','adverse_event'])[(byte0 % 4) + 1] AS cls,
+               round(0.5 + byte1 / 1000.0, 4) AS score
+        FROM b
+    """,
     # deterministic stand-in scorer is md5-based, which DuckDB can evaluate:
     # token length >= 4, md5 first byte < 16 (first hex digit '0'), label by
-    # second byte % 5, score 0.5 + third byte / 512.
+    # second byte % 5, score 0.5 + third byte / 1000 (exact 3-decimal).
     "model_mentions": """
         WITH toks_raw AS (
             SELECT doc_id,
@@ -284,7 +300,7 @@ ORACLE_SQL: dict[str, str] = {
                (rawstart + rawlen)::INT AS "end",
                tok_raw AS surface,
                (['CellLine','CellType','Tissue','Drug','AdverseEvent'])[(byte1 % 5) + 1] AS label,
-               round(0.5 + byte2 / 512.0, 4) AS score
+               round(0.5 + byte2 / 1000.0, 4) AS score
         FROM bytes WHERE d0 = 0
     """,
     "fingerprint": """

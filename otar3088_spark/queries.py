@@ -507,6 +507,22 @@ def q_model_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 sequence classification over documents-as-sentences (mapInPandas,
+    deterministic md5 stand-in — DuckDB replays the same md5 family)."""
+    from otar3088_spark.operators.inference import model_classify
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.col("text").alias("sent_text"),
+    )
+    return model_classify(d).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"), "cls", "score"
+    )
+
+
 def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span->IOB->span round-trip over tagged documents (J9/F12 + W5 merge):
     returns merged spans re-derived from IOB tags."""
@@ -585,6 +601,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_buckets": q_simhash_buckets,
     "model_mentions": q_model_mentions,
+    "seq_classify": q_seq_classify,
     "iob_roundtrip": q_iob_roundtrip,
     "ann_lsh_topk": q_ann_lsh_topk,
     "kg_triples": q_kg_triples,

@@ -161,3 +161,128 @@ def test_augment_with_gazetteer(spark):
     rows2 = {r["conv_id"]: (r["tokens"], r["tags"], r["augmented"]) for r in
              augment_with_gazetteer(iob, gaz, p_swap=0.5, seed=7).collect()}
     assert rows1 == rows2
+
+
+# ------------------------------------------------------------- BioC (S12)
+
+
+def test_bioc_source(spark, tmp_path):
+    import json
+
+    from otar3088_spark.sources.bioc import (
+        bioc_to_transcripts,
+        read_bioc_annotations,
+        read_bioc_passages,
+    )
+
+    coll = [{
+        "documents": [{
+            "id": "PMC1",
+            "passages": [
+                {"infons": {"section_type": "INTRO"}, "offset": 0,
+                 "text": "HeLa cells were cultured.",
+                 "annotations": [{"id": "a1", "infons": {"type": "CellLine"},
+                                  "text": "HeLa",
+                                  "locations": [{"offset": 0, "length": 4}]}]},
+                {"infons": {"section_type": "RESULTS"}, "offset": 26,
+                 "text": "Results follow.", "annotations": []},
+            ],
+        }]
+    }]
+    p = tmp_path / "bioc.jsonl"
+    p.write_text(json.dumps(coll) + "\n")
+
+    passages = read_bioc_passages(spark, str(p))
+    rows = {(r["doc_id"], r["passage_idx"], r["section_type"], r["offset"], r["text"])
+            for r in passages.collect()}
+    assert rows == {
+        ("PMC1", 0, "INTRO", 0, "HeLa cells were cultured."),
+        ("PMC1", 1, "RESULTS", 26, "Results follow."),
+    }
+    anns = read_bioc_annotations(spark, str(p)).collect()
+    assert len(anns) == 1
+    a = anns[0]
+    assert (a["ann_id"], a["ann_type"], a["start"], a["end"], a["text"]) == (
+        "a1", "CellLine", 0, 4, "HeLa")
+    t = bioc_to_transcripts(passages)
+    assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t.count() == 2
+
+
+# ------------------------------------------------------------- JDBC (S8/S9)
+
+
+def test_jdbc_options():
+    import pytest
+
+    from otar3088_spark.sources.jdbc import POSTGRES_URL, SQLITE_URL, jdbc_options
+
+    o = jdbc_options(
+        SQLITE_URL.format(path="/data/chembl.db"), table="activities",
+        partition_column="activity_id", lower_bound=0, upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert o["dbtable"] == "activities" and o["numPartitions"] == "32"
+    assert o["partitionColumn"] == "activity_id" and o["fetchsize"] == "10000"
+
+    o2 = jdbc_options(
+        POSTGRES_URL.format(host="h", port=5432, db="aact"),
+        query="SELECT nct_id FROM studies WHERE phase = 'Phase 3'",
+    )
+    assert "query" in o2 and "dbtable" not in o2
+
+    with pytest.raises(ValueError):
+        jdbc_options("jdbc:x", table="t", query="q")
+    with pytest.raises(ValueError):
+        jdbc_options("jdbc:x", table="t", partition_column="c")
+    with pytest.raises(ValueError):
+        jdbc_options("jdbc:x", query="q", partition_column="c",
+                     lower_bound=0, upper_bound=1, num_partitions=2)
+
+
+# ------------------------------------------------------------- F8 lemmas
+
+
+def test_lemma_overrides_match_irregular_plural(spark):
+    from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions
+
+    sents = spark.createDataFrame(
+        [("c1", 0, 0, "the mice were treated and feet were measured.")],
+        "conv_id string, turn_idx int, sent_idx int, sent_text string",
+    )
+    d = prepare_dictionary(spark.createDataFrame(
+        [("E1", "mouse", "CellType"), ("E2", "foot", "Tissue")],
+        ["ent_id", "term", "label"],
+    ))
+    # without overrides: rule-based destem gives 'mice'->'mic', no match
+    base = tag_mentions(sents, d).collect()
+    assert base == []
+    got = {
+        (r["start"], r["end"], r["surface"], r["term"], r["label"])
+        for r in tag_mentions(
+            sents, d, lemma_overrides={"mice": "mouse", "feet": "foot"}
+        ).collect()
+    }
+    assert got == {
+        (4, 8, "mice", "mouse", "CellType"),
+        (26, 30, "feet", "foot", "Tissue"),
+    }
+
+
+# ------------------------------------------------------------- M2 classify
+
+
+def test_model_classify_deterministic(spark):
+    from otar3088_spark.operators.inference import model_classify
+
+    sents = spark.createDataFrame(
+        [("c1", 0, 0, "HeLa cells were cultured."),
+         ("c1", 0, 1, "Results follow.")],
+        "conv_id string, turn_idx int, sent_idx int, sent_text string",
+    )
+    a = {tuple(r) for r in model_classify(sents).collect()}
+    b = {tuple(r) for r in model_classify(sents).collect()}
+    assert a == b and len(a) == 2
+    for (_c, _t, _s, cls, score) in a:
+        assert cls in ("background", "method", "result", "adverse_event")
+        assert 0.5 <= score < 1.0
