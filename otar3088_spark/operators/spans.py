@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from otar3088_spark.operators.tagging import tokenize_sentences
+from otar3088_spark.functions.text import offsets_expr
 
 
 def assign_spans_to_sentences(doc_spans: DataFrame, sentences: DataFrame) -> DataFrame:
@@ -63,11 +63,16 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     Token gets ``B-X`` iff it starts the span, ``I-X`` iff strictly inside,
     else ``O`` (iob_converter.py:47-68).
     """
+    from otar3088_spark.functions.text import token_core_expr, token_lead_expr
+
     key3 = ["conv_id", "turn_idx", "sent_idx"]
     sp_g = spans.groupBy(*key3).agg(
         F.collect_list(F.struct("start", "end", "label")).alias("sp")
     )
-    tok = tokenize_sentences(sentences).select(*key3, "toks", "starts", "leads", "cores")
+    toks = F.split(F.col("sent_text"), " ")
+    tok = sentences.select(
+        *key3, toks.alias("toks"), offsets_expr(toks).alias("starts")
+    )
     j = tok.join(sp_g, key3, "left").withColumn(
         "sp", F.coalesce(F.col("sp"), F.array().cast("array<struct<start:int,end:int,label:string>>"))
     )
@@ -80,17 +85,19 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     # the first covered token), matching the reference IOBConverter which
     # tags the first fully-contained token B- (iob_converter.py:47-68). Min
     # label breaks overlaps deterministically. One join + per-row
-    # expressions — no window sort, no explode/regroup.
-    def tag_at(e):
-        cs = e["starts"] + e["leads"]
-        ce = cs + F.length(e["cores"])
+    # expressions; core/lead derived inline from the token (two regexes per
+    # token beat materializing three parallel arrays + an arrays_zip — this
+    # path is allocation-bandwidth bound, not CPU bound).
+    def tag_at(t, s):
+        lead = token_lead_expr(t)
+        core_len = F.length(token_core_expr(t))
+        cs = s + lead
+        ce = cs + core_len
         covering = F.filter(
             F.col("sp"),
-            lambda p: (F.length(e["cores"]) > 0)
-            & (cs >= p["start"])
-            & (ce <= p["end"]),
+            lambda p: (core_len > 0) & (cs >= p["start"]) & (ce <= p["end"]),
         )
-        starting = F.filter(covering, lambda p: p["start"] >= e["starts"])
+        starting = F.filter(covering, lambda p: p["start"] >= s)
         b_label = F.array_min(F.transform(starting, lambda p: p["label"]))
         i_label = F.array_min(F.transform(covering, lambda p: p["label"]))
         return (
@@ -99,11 +106,10 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
             .otherwise(F.lit("O"))
         )
 
-    z = F.arrays_zip(F.col("starts"), F.col("leads"), F.col("cores"))
     return j.select(
         *key3,
         F.col("toks").alias("tokens"),
-        F.transform(z, tag_at).alias("tags"),
+        F.zip_with("toks", "starts", tag_at).alias("tags"),
     )
 
 

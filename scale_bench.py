@@ -38,7 +38,7 @@ REPO = Path(__file__).resolve().parent
 def run(cores: int, turns: int) -> float:
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py"), "--cores", str(cores), "--only", "kg",
-         "--kg-turns", str(turns), "--repeat", "1"],  # best-of happens here
+         "--kg-turns", str(turns), "--repeat", "1", "--skip-kg-full"],  # best-of happens here
         capture_output=True, text=True, check=True, cwd=str(REPO),
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
