@@ -60,17 +60,26 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig array<long>) — k independent min-hashes per document.
+    """(id, sig array) — k independent min-hashes per document.
 
     Explode distinct shingles once, then ONE groupBy computing k
-    ``min(xxhash64(lit(i), shingle))`` aggregates — map-side partial
-    aggregation keeps shuffle volume at k longs per doc regardless of
-    document size."""
+    ``min(hash_i(shingle))`` aggregates — map-side partial aggregation keeps
+    shuffle volume at k values per doc regardless of document size.
+
+    ``hash_fn``: ``xxhash64`` (JVM-fast, the production path) or ``md5str``
+    (min over ``md5(i || '|' || shingle)`` hex strings — lexicographic min of
+    fixed-width hex equals numeric min, and DuckDB evaluates the identical
+    expression, making the whole LSH pipeline oracle-checkable)."""
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_k)).alias("sh")
     )
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
+    if hash_fn == "md5str":
+        hexpr = lambda i: F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))
+    else:
+        hexpr = lambda i: F.xxhash64(F.lit(i), F.col("sh"))
+    aggs = [F.min(hexpr(i)).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
@@ -147,33 +156,49 @@ def minhash_near_dups(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
     exact-Jaccard verification ≥ threshold. Returns (id1, id2, jaccard)."""
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, hash_fn)
     cands = lsh_candidate_pairs(sig, bands, num_hashes // bands)
     return jaccard_pairs(docs, cands, id_col, text_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: per-bit sign sum of token hashes, folded back
-    into one long. Explode tokens → 64 conditional-sum aggregates → bit fold.
-    Returns (id, simhash long)."""
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per doc: per-bit sign sum of token hashes, folded back into
+    one long. Explode tokens → per-bit conditional-sum aggregates → bit fold.
+    Returns (id, simhash long).
+
+    ``hash_fn``: ``xxhash64`` (64-bit, production) or ``md5`` (60-bit — the
+    first 15 md5 hex digits parsed as an integer, which DuckDB reproduces via
+    ``('0x' || substr(md5(tok),1,15))::BIGINT`` — oracle-checkable)."""
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        n_bits = 60
+    else:
+        h = F.xxhash64(F.col("tok"))
+        n_bits = 64
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text_expr(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64(F.col("tok")))
+    ).withColumn("h", h)
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     bits = toks.groupBy("id").agg(*aggs)
     acc = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         acc = acc + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
     return bits.select("id", acc.alias("simhash"))
 

@@ -85,7 +85,105 @@ spans AS (
 )
 """
 
+# ---- generated oracles for the md5-hash-family dedup twins ----------------
+# normalized text + distinct adjacent-bigram shingles shared by both.
+_SHINGLE_CTE = """
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           unnest(string_split(ntext, ' ')) AS tok,
+           generate_subscripts(string_split(ntext, ' '), 1) AS pos
+    FROM norm
+),
+sh AS (
+    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS sh
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+)
+"""
+
+
+def _minhash_md5_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    rpb = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+    band_sel = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {hash} AS band_hash FROM sigs".format(
+            b=b,
+            hash=" || '_' || ".join(f"h{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+sigs AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+),
+banded AS (
+    {band_sel}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id1, c.id2, count(*) AS inter
+    FROM cands c
+    JOIN sh a ON a.doc_id = c.id1
+    JOIN sh b ON b.doc_id = c.id2 AND b.sh = a.sh
+    GROUP BY c.id1, c.id2
+)
+SELECT id1, id2,
+       round(inter / (s1.sz + s2.sz - inter)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE inter / (s1.sz + s2.sz - inter)::DOUBLE >= {threshold}
+"""
+    )
+
+
+def _simhash_md5_sql(n_bits: int = 60, bucket_shift: int = 52) -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(n_bits)
+    )
+    pack = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(n_bits))
+    return f"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(string_split(ntext, ' ')) AS tok FROM norm
+),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+bits AS (
+    SELECT doc_id,
+           {sums}
+    FROM h GROUP BY doc_id
+),
+packed AS (
+    SELECT doc_id, ({pack})::BIGINT AS simhash FROM bits
+)
+SELECT doc_id, simhash, (simhash >> {bucket_shift})::BIGINT AS bucket FROM packed
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "minhash_near_dups_md5": _minhash_md5_sql(),
+    "simhash_buckets_md5": _simhash_md5_sql(),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,

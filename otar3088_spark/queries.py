@@ -477,6 +477,37 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
+def q_minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dups with the md5-string hash family — IDENTICAL
+    pipeline shape to minhash_near_dups (signatures → banded candidates →
+    exact-Jaccard verify) but with a hash DuckDB can replay, so the full LSH
+    dedup path is oracle-checked, not rows-only."""
+    from otar3088_spark.operators.dedup import minhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_near_dups(
+            d, num_hashes=32, bands=8, shingle_k=2, threshold=0.5, hash_fn="md5str"
+        )
+        .select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id1", "id2")
+    )
+
+
+def q_simhash_buckets_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints with the 60-bit md5-derived hash — same per-bit
+    sign-sum fold as the xxhash64 path, oracle-checked in DuckDB."""
+    from otar3088_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    sh = simhash(d, hash_fn="md5")
+    return sh.select(
+        F.col("id").alias("doc_id"),
+        F.col("simhash"),
+        F.shiftrightunsigned(F.col("simhash"), 52).alias("bucket"),
+    )
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + 8-bit prefix buckets (dedup op #3)."""
     from otar3088_spark.operators.dedup import simhash
@@ -600,6 +631,9 @@ QUERIES = {
     # xxhash64-based: rows-only (no SQL oracle; pytest differential coverage)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_buckets": q_simhash_buckets,
+    # md5-hash-family twins of the above: fully DuckDB-oracle-checked
+    "minhash_near_dups_md5": q_minhash_near_dups_md5,
+    "simhash_buckets_md5": q_simhash_buckets_md5,
     "model_mentions": q_model_mentions,
     "seq_classify": q_seq_classify,
     "iob_roundtrip": q_iob_roundtrip,
