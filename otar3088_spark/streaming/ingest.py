@@ -41,6 +41,22 @@ def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def write_triples_batch(triples: DataFrame, batch_id: int, output_dir: str) -> None:
+    """Idempotent per-batch triple write: dynamic partition overwrite of the
+    ``batch_id=<id>`` directory. foreachBatch is at-least-once (a crash
+    between the sink write and the checkpoint commit replays the batch);
+    overwriting the batch's own partition makes the replay a no-op instead
+    of a duplicate — the exactly-once claim holds end-to-end. Same shape as
+    an Iceberg overwrite-by-filter commit."""
+    (
+        triples.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
 def incremental_kg_update(
     spark: SparkSession,
     input_dir: str,
@@ -60,19 +76,7 @@ def incremental_kg_update(
         if batch_df.isEmpty():
             return
         res = build_kg(batch_df, dictionary, persist_spans=False)
-        # Idempotent per-batch write: dynamic partition overwrite of the
-        # batch_id=<id> directory. foreachBatch is at-least-once (a crash
-        # between the sink write and the checkpoint commit replays the
-        # batch); overwriting the batch's own partition makes the replay a
-        # no-op instead of a duplicate — the exactly-once claim holds
-        # end-to-end. Same shape as an Iceberg overwrite-by-filter commit.
-        (
-            res.triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(output_dir)
-        )
+        write_triples_batch(res.triples, batch_id, output_dir)
 
     (
         stream.writeStream.foreachBatch(process)

@@ -65,3 +65,26 @@ def test_windowed_mention_rates_plan(spark, transcripts_pd, tmp_path):
     rows = spark.sql("SELECT * FROM rates").collect()
     assert len(rows) > 0
     assert all(r["n_turns"] >= r["n_long_turns"] for r in rows)
+
+
+def test_batch_write_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the same batch (crash between
+    sink write and checkpoint commit) must not duplicate triples."""
+    from pyspark.sql import functions as F
+
+    from otar3088_spark.streaming.ingest import write_triples_batch
+
+    out = str(tmp_path / "triples")
+    t = spark.createDataFrame(
+        [("a", "is_a", "X", "c1", 0, 0, 4), ("b", "is_a", "Y", "c1", 1, 0, 4)],
+        "subj string, pred string, obj string, conv_id string, turn_idx int, "
+        "span_start int, span_end int",
+    )
+    write_triples_batch(t, 7, out)
+    n1 = spark.read.parquet(out).count()
+    write_triples_batch(t, 7, out)  # replay of the SAME batch
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == 2
+    write_triples_batch(t, 8, out)  # a genuinely new batch appends
+    assert spark.read.parquet(out).count() == 4
+    assert {r["batch_id"] for r in spark.read.parquet(out).select("batch_id").distinct().collect()} == {7, 8}
