@@ -15,8 +15,8 @@ Two kernels:
   canonicalization-by-grouping, cellfinder_clean.ipynb cell 16). Iterative
   DataFrame self-joins with per-iteration ``localCheckpoint`` to cut lineage;
   converges in O(diameter) rounds. Alias clusters have tiny diameters (≤3);
-  for adversarial giant components swap in large-star/small-star — the loop
-  structure is identical.
+  ``connected_components_star`` below is the adversarial-graph path
+  (alternating large-star/small-star, O(log² n) rounds on any shape).
 """
 
 from __future__ import annotations
@@ -104,7 +104,7 @@ def connected_components(
     along chains, so convergence is O(log diameter) rounds instead of
     O(diameter). ``localCheckpoint`` truncates lineage each round; shuffles
     hash on ``node``; AQE splits skewed hubs. For adversarial giant
-    components swap in full large-star/small-star — same loop skeleton.
+    components use ``connected_components_star`` (implemented below).
     """
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -192,6 +192,77 @@ def connected_components(
         if changed == 0:
             break
     return comps
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-graph scale path: converges in O(log² n) rounds on ANY graph
+    shape (giant components, long chains, high-degree hubs), where plain
+    min-label propagation needs O(diameter).
+
+    Each round is two groupBy+join passes over the edge set, all hash-
+    partitioned on node — no driver-side state, no collect:
+
+    * large-star: every node links its strictly-larger neighbors to the
+      minimum of its neighborhood (including itself);
+    * small-star: in (big → small) orientation, every node links its
+      smaller-or-equal neighbors and itself to the neighborhood minimum.
+
+    Converges to star graphs (every node points at its component minimum).
+    Returns ``(node, component)`` including singleton self-rows for nodes
+    present in ``edges``.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = F.least(F.col("mn"), F.col("src"))
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient (big -> small); group on the big end
+        o = ed.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        mins = o.groupBy("src").agg(F.min("dst").alias("mn"))
+        withm = o.join(mins, "src")
+        # link each small neighbor != m, and the center itself, to m
+        nbrs = withm.filter(F.col("dst") != F.col("mn")).select(
+            F.col("dst").alias("src"), F.col("mn").alias("dst")
+        )
+        center = withm.select(F.col("src"), F.col("mn").alias("dst"))
+        return nbrs.union(center).distinct()
+
+    cur = e
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        # converged when the (big -> small) edge set is unchanged
+        o_cur = cur.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        changed = (
+            nxt.exceptAll(o_cur).limit(1).count() + o_cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    all_nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
+    comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return (
+        all_nodes.withColumnRenamed("src", "node")
+        .join(comp, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+        .distinct()
+    )
 
 
 def entity_clusters(dictionary: DataFrame) -> DataFrame:

@@ -397,3 +397,45 @@ def test_tagging_prefilter_fallback_equivalence(spark):
     a = {tuple(r) for r in with_pf.select(*key).collect()}
     b = {tuple(r) for r in without_pf.select(*key).collect()}
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------- large-star/small-star CC
+
+
+def test_star_cc_matches_union_find(spark):
+    """Alternating large/small-star CC vs a trusted union-find on seeded
+    random graphs + a 60-node chain (the worst case for plain label
+    propagation)."""
+    import random
+
+    from otar3088_spark.operators.canonicalize import connected_components_star
+
+    def union_find(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    cases = []
+    rng = random.Random(13)
+    for trial in range(3):
+        n, m = 120, 150
+        pairs = [(f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}") for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        cases.append(pairs)
+    cases.append([(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)])  # chain
+
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "src string, dst string")
+        got = {(r["node"], r["component"]) for r in connected_components_star(edges).collect()}
+        want = set(union_find(pairs).items())
+        assert got == want, f"mismatch: extra={sorted(got-want)[:5]} missing={sorted(want-got)[:5]}"
