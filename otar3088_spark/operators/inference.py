@@ -42,21 +42,38 @@ _LABELS = ("CellLine", "CellType", "Tissue", "Drug", "AdverseEvent")
 _MODEL_SINGLETON: dict[str, object] = {}
 
 
+# per-executor memo: token -> (label, score) or None (md5 is deterministic,
+# token vocabularies are Zipf-distributed — the memo removes nearly all
+# hashlib calls from the stand-in's hot loop without changing a single
+# emitted value)
+_TOKEN_MEMO: dict[str, tuple[str, float] | None] = {}
+
+
 def _stand_in_scorer(sentences: pd.Series) -> list[list[tuple[int, int, str, float]]]:
     """Deterministic pseudo-model: 'detects' a span for tokens whose md5 has
     a low nibble, labeling by hash bucket. Stable across runs/partitions."""
+    memo = _TOKEN_MEMO
     out: list[list[tuple[int, int, str, float]]] = []
     for sent in sentences:
         spans: list[tuple[int, int, str, float]] = []
         cur = 0
         for tok in sent.split(" "):
-            if len(tok) >= 4:
-                h = hashlib.md5(tok.lower().encode()).digest()
-                if h[0] < 16:  # ~6% of tokens
-                    label = _LABELS[h[1] % len(_LABELS)]
-                    score = 0.5 + (h[2] / 1000.0)  # exact 3-decimal: no banker's-vs-away rounding skew vs SQL
-                    spans.append((cur, cur + len(tok), label, round(score, 4)))
-            cur += len(tok) + 1
+            n = len(tok)
+            if n >= 4:
+                hit = memo.get(tok, -1)
+                if hit == -1:
+                    h = hashlib.md5(tok.lower().encode()).digest()
+                    if h[0] < 16:  # ~6% of tokens
+                        label = _LABELS[h[1] % len(_LABELS)]
+                        # exact 3-decimal: no banker's-vs-away rounding skew vs SQL
+                        hit = (label, round(0.5 + h[2] / 1000.0, 4))
+                    else:
+                        hit = None
+                    if len(memo) < 1_000_000:
+                        memo[tok] = hit
+                if hit is not None:
+                    spans.append((cur, cur + n, hit[0], hit[1]))
+            cur += n + 1
         out.append(spans)
     return out
 
