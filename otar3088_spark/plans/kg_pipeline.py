@@ -84,10 +84,17 @@ def build_kg(
         linked = link_model_mentions(model_sp, dict_prepared)
         spans = merge_spans_with_model(spans, linked)
     if staging_dir is not None:
-        spark = spans.sparkSession
-        path = f"{staging_dir}/spans"
-        spans.write.mode("overwrite").parquet(path)
-        spans = spark.read.parquet(path)
+        # Stage boundary through the snapshot store: parquet data + atomic
+        # manifest with per-partition lineage rows (north-rule P7). A re-run
+        # pointed at the same staging_dir resumes from the committed span
+        # snapshot and recomputes only the downstream tail.
+        from otar3088_spark.io.checkpoint import SnapshotStore
+
+        store = SnapshotStore(staging_dir)
+        _spans_df = spans
+        spans = store.get_or_compute(
+            _spans_df.sparkSession, "spans", lambda: _spans_df
+        )
     elif persist_spans:
         spans = spans.persist()
     resolved = resolve_labels(spans)

@@ -196,3 +196,21 @@ def test_clusters_match_union_find(spark, dictionary_df, dictionary_pd):
     kept = {r.ent_id for r in prep(dictionary_df).select("ent_id").distinct().collect()}
     want = {(e, c) for e, c in want_map.items() if e in kept}
     assert got == want
+
+
+def test_build_kg_staging_resumes_with_lineage(spark, transcripts_df, dictionary_df, tmp_path):
+    """The staging boundary is a SnapshotStore stage: manifest with
+    per-partition lineage commits, and a re-run over the same staging_dir
+    resumes from the committed span snapshot (identical triples)."""
+    import json
+
+    staging = str(tmp_path / "stage")
+    r1 = build_kg(transcripts_df, dictionary_df, staging_dir=staging)
+    t1 = {tuple(r) for r in r1.triples.select("subj", "pred", "obj").distinct().collect()}
+    man = json.load(open(f"{staging}/spans/_MANIFEST.json"))
+    assert man["stage"] == "spans" and man["total_rows"] > 100
+    assert sum(p["rows"] for p in man["partition_lineage"]) == man["total_rows"]
+
+    r2 = build_kg(transcripts_df, dictionary_df, staging_dir=staging)  # resume
+    t2 = {tuple(r) for r in r2.triples.select("subj", "pred", "obj").distinct().collect()}
+    assert t1 == t2
