@@ -173,6 +173,56 @@ def transcripts_pandas(n_convs: int = 40, seed: int = SEED) -> pd.DataFrame:
     return df
 
 
+def adversarial_transcripts_pandas(n_turns: int = 300, seed: int = 777) -> pd.DataFrame:
+    """Fuzz corpus for the differential suite: dictionary terms wrapped in
+    punctuation, hyphenated/plural/possessive/case variants, abbreviation
+    traps, latex/citation noise, pure-punctuation tokens, double spaces,
+    header rows, nulls and duplicate keys — everything the cleaning/
+    sentencizing/tagging stack claims to handle, composed randomly."""
+    rng = np.random.RandomState(seed)
+    terms = [t for (_, t, _, _) in DICTIONARY_ROWS if len(t) > 2]
+    punct_wrap = ["({t})", "({t}", "{t})", '"{t}"', "'{t}'", "[{t}]", "{t},", "{t}.", "{t};", "{t}!", "{t}?"]
+    oddballs = ["...", "!!", "?", "(", ")", "--", "a.b", "x1)", '"', "''", "e.g.", "i.e.",
+                "Fig.", "2)", "et", "al.", "J.", "vs.", "No.", "{\\it noise}", "\\textbf",
+                "[1, 23]", "[4]", "(cf."]
+    rows = []
+    base_ts = pd.Timestamp("2024-06-01")
+    for i in range(n_turns):
+        conv_id = f"fuzz_{i % 40:04d}"
+        n_sents = int(rng.randint(1, 4))
+        sents = []
+        for _ in range(n_sents):
+            k = int(rng.randint(3, 11))
+            words = []
+            for _ in range(k):
+                r = rng.rand()
+                if r < 0.30:
+                    t = _mention_surface(rng, terms[rng.randint(len(terms))])
+                    if rng.rand() < 0.4:
+                        t = punct_wrap[rng.randint(len(punct_wrap))].format(t=t)
+                    words.append(t)
+                elif r < 0.55:
+                    words.append(oddballs[rng.randint(len(oddballs))])
+                else:
+                    words.append(FILLER[rng.randint(len(FILLER))])
+            sent = " ".join(words) + [".", "!", "?", "."][rng.randint(4)]
+            if rng.rand() < 0.15:
+                sent = sent.replace(" ", "  ", 1)
+            sents.append(sent)
+        text = " ".join(sents)
+        if rng.rand() < 0.05:
+            text = HEADER_TEXTS[rng.randint(len(HEADER_TEXTS))]
+        if rng.rand() < 0.03:
+            text = None
+        rows.append((conv_id, i // 40, ROLES[i % 3], text, None,
+                     base_ts + pd.Timedelta(minutes=i)))
+        if rng.rand() < 0.05:
+            rows.append(rows[-1])
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
 def events_pandas(n: int = 200, seed: int = SEED) -> pd.DataFrame:
     """FIXTURES.md §6 structured-event fixture (PHEE shape, phee_builder.py:55-78).
 

@@ -214,3 +214,33 @@ def test_build_kg_staging_resumes_with_lineage(spark, transcripts_df, dictionary
     r2 = build_kg(transcripts_df, dictionary_df, staging_dir=staging)  # resume
     t2 = {tuple(r) for r in r2.triples.select("subj", "pred", "obj").distinct().collect()}
     assert t1 == t2
+
+
+def test_fuzz_corpus_full_parity(spark, dictionary_df, dictionary_pd):
+    """Seeded adversarial fuzz corpus (punctuation-wrapped terms, hyphen/
+    plural/case variants, abbreviation traps, noise tokens): per-turn text
+    equality, sentence offsets, tagging span set, and triple P/R must all
+    stay exact vs the pandas oracle."""
+    from otar3088_spark.synth import adversarial_transcripts_pandas
+
+    fuzz_pd = adversarial_transcripts_pandas(n_turns=300)
+    fuzz_df = spark.createDataFrame(fuzz_pd)
+
+    sents = sentencize(normalize_turns(fuzz_df))
+    spans = tag_mentions(sents, prepare_dictionary(dictionary_df))
+    # alignment invariant holds on the fuzz corpus
+    assert validate_alignment(spans, sents).count() == 0
+    # exact span-set parity
+    want = oracle.extract_spans(fuzz_pd, dictionary_pd)
+    assert len(want) > 50
+    assert _span_set(spans.toPandas()) == _span_set(want)
+    # end-to-end triples, merged model path included
+    res = build_kg(fuzz_df, dictionary_df, use_model=True)
+    pred = set(map(tuple, res.triples.select("subj", "pred", "obj").distinct().collect()))
+    gold_df = oracle.golden_triples(fuzz_pd, dictionary_pd, with_model=True)
+    gold = set(map(tuple, gold_df.itertuples(index=False, name=None)))
+    p, r = oracle.precision_recall(pred, gold)
+    assert p == 1.0 and r == 1.0, (
+        f"P={p:.4f} R={r:.4f}; pred-only={sorted(pred - gold)[:5]}, "
+        f"gold-only={sorted(gold - pred)[:5]}"
+    )
