@@ -44,6 +44,32 @@ def clean_text_expr(col: Column) -> Column:
     return F.trim(c)
 
 
+# Elements the reference's filter_tags decomposes wholesale before text
+# extraction (split2sent_par.py:65-102): formulas, tables, figures,
+# acknowledgements, reference lists, cross-refs.
+_XML_DROP_TAGS = (
+    "inline-formula", "disp-formula", "table-wrap", "fig",
+    "ack", "ref-list", "xref",
+)
+
+
+def strip_xml_expr(col: Column) -> Column:
+    """S11/P12: full-text XML -> plain text as pure Catalyst expressions.
+
+    Mirrors the reference's BeautifulSoup ``filter_tags`` walk
+    (split2sent_par.py:65-102): unwanted elements are decomposed wholesale
+    (non-greedy tag-pair match — sufficient for JATS bodies, where these
+    elements do not self-nest), remaining markup is unwrapped, then the
+    standard ``clean_text`` normalization applies. No UDF: the whole XML →
+    text path stays JVM-side and pushdown-friendly."""
+    c = col
+    for t in _XML_DROP_TAGS:
+        c = F.regexp_replace(c, rf"(?s)<{t}\b[^>]*>.*?</{t}>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    return clean_text_expr(c)
+
+
 def is_header_expr(col: Column) -> Column:
     """P10: true for section-header-like turns (drop them).
 

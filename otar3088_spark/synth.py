@@ -256,13 +256,17 @@ def events_pandas(n: int = 200, seed: int = SEED) -> pd.DataFrame:
     return df
 
 
-def transcripts_spark(spark, n_turns: int, turns_per_conv: int = 20):
+def transcripts_spark(spark, n_turns: int, turns_per_conv: int = 20, skew_frac: float = 0.0):
     """Bench-scale transcript generator: pure column expressions over
     ``spark.range`` — distributed, deterministic, zero per-row Python.
 
     Text is assembled by indexing small literal vocab arrays with hash-derived
     ints; ~3 sentences/turn, ~1 dictionary mention per sentence. At 10^9 rows
     this parallelizes across all executors (range is an evenly-split source).
+
+    ``skew_frac``: fraction of all turns assigned to ONE giant conversation
+    (head-conversation skew — the shape the north rule's salted
+    repartitioning exists for). 0.0 = uniform.
     """
     from pyspark.sql import functions as F
 
@@ -271,9 +275,18 @@ def transcripts_spark(spark, n_turns: int, turns_per_conv: int = 20):
     term_arr = F.array(*[F.lit(t) for t in terms])
     n_f, n_t = len(FILLER), len(terms)
 
+    head_n = int(n_turns * skew_frac)
+    conv = F.when(
+        F.col("id") < head_n, F.lit("conv_head")
+    ).otherwise(
+        F.concat(F.lit("conv_"), F.lpad((F.col("id") / turns_per_conv).cast("long").cast("string"), 9, "0"))
+    )
+    tidx = F.when(F.col("id") < head_n, F.col("id")).otherwise(
+        F.col("id") % turns_per_conv
+    )
     df = spark.range(n_turns).select(
-        F.concat(F.lit("conv_"), F.lpad((F.col("id") / turns_per_conv).cast("long").cast("string"), 9, "0")).alias("conv_id"),
-        (F.col("id") % turns_per_conv).cast("int").alias("turn_idx"),
+        conv.alias("conv_id"),
+        tidx.cast("int").alias("turn_idx"),
         F.element_at(F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")), (F.col("id") % 3 + 1).cast("int")).alias("role"),
         F.col("id").alias("_id"),
     )

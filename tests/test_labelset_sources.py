@@ -286,3 +286,25 @@ def test_model_classify_deterministic(spark):
     for (_c, _t, _s, cls, score) in a:
         assert cls in ("background", "method", "result", "adverse_event")
         assert 0.5 <= score < 1.0
+
+
+# ------------------------------------------------------------- S11 XML strip
+
+
+def test_strip_xml_expr(spark):
+    from otar3088_spark.functions.text import strip_xml_expr
+
+    xml = (
+        "<article><body><sec><title>Results</title>"
+        "<p>HeLa cells <xref ref-type=\"bibr\" rid=\"b1\">1</xref> grew "
+        "<inline-formula><mml:math>x^2</mml:math></inline-formula> fast.</p>"
+        "<table-wrap id=\"t1\"><table><tr><td>drop me</td></tr></table></table-wrap>"
+        "<fig id=\"f1\"><caption><p>drop caption</p></caption></fig>"
+        "<!-- a comment -->"
+        "<p>Second sentence here.</p></sec>"
+        "<ack><p>thanks everyone</p></ack>"
+        "<ref-list><ref>ignored</ref></ref-list></body></article>"
+    )
+    df = spark.createDataFrame([(xml,)], ["raw"])
+    got = df.select(strip_xml_expr(F.col("raw")).alias("t")).collect()[0]["t"]
+    assert got == "Results HeLa cells grew fast. Second sentence here."
