@@ -151,7 +151,7 @@ def destem_expr(key: Column) -> Column:
     -> ``term``. Mirrors the reference boundary regex ``term(?:s|'s)?``
     (labelstudio_e2e.py:171-178). Returns NULL when no suffix applies."""
     return (
-        F.when(key.endswith("'s"), key.substr(F.lit(1), F.length(key) - 2))
+        F.when(key.endswith("'s") & (F.length(key) > 2), key.substr(F.lit(1), F.length(key) - 2))
         .when(key.endswith("s") & (F.length(key) > 3), key.substr(F.lit(1), F.length(key) - 1))
         .otherwise(F.lit(None).cast("string"))
     )

@@ -66,7 +66,7 @@ def token_core(tok: str) -> tuple[int, str]:
 
 
 def destem(key: str) -> str | None:
-    if key.endswith("'s"):
+    if key.endswith("'s") and len(key) > 2:
         return key[:-2]
     if key.endswith("s") and len(key) > 3:
         return key[:-1]

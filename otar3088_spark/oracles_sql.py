@@ -38,7 +38,7 @@ toks AS (
 ),
 keyed AS (
     SELECT doc_id, pos, tok_raw, rawlen, lead, key, length(key) AS corelen,
-           CASE WHEN key LIKE '%''s' THEN substr(key, 1, length(key) - 2)
+           CASE WHEN key LIKE '%''s' AND length(key) > 2 THEN substr(key, 1, length(key) - 2)
                 WHEN key LIKE '%s' AND length(key) > 3 THEN substr(key, 1, length(key) - 1)
                 ELSE NULL END AS key_ds,
            COALESCE(SUM(rawlen + 1) OVER (

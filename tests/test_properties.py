@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) on the pure-Python trusted side.
+
+These pin the INVARIANTS the Spark engine relies on — offset
+reconstructibility, normalization idempotence, key stability — over
+arbitrary generated text, complementing the example-based differential
+suite. No Spark session: runs in milliseconds per example.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from otar3088_spark import oracle
+
+# text with plenty of the characters the cleaners care about
+_texty = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefgHIJ XYZ.!?,;:()[]{}\\'\"-0123456789\t\n") + ["e", "g", "."]
+    ),
+    max_size=200,
+)
+
+
+@given(_texty)
+@settings(max_examples=300, deadline=None)
+def test_clean_text_is_single_spaced_and_stable(s):
+    import re
+
+    c = oracle.clean_text(s)
+    assert "  " not in c and c == c.strip()  # single-spaced, trimmed
+    # idempotent unless the first pass EXPOSED a new latex group (nested
+    # braces) — the reference's clean_text is the same single-pass re.sub
+    # (split2sent_par.py:158-181), so engine/oracle agree on this behavior.
+    if re.search(r"\{[^{}]*\}", c) is None:
+        assert oracle.clean_text(c) == c
+
+
+@given(_texty)
+@settings(max_examples=300, deadline=None)
+def test_sentence_offsets_reconstruct_clean_text(s):
+    """The load-bearing invariant behind every char offset in the engine:
+    sentences start at their recorded offsets in the cleaned text, and
+    re-joining them with single spaces reproduces it exactly."""
+    clean = oracle.clean_text(s)
+    parts = oracle.sentences_of(clean)
+    for start, sent in parts:
+        assert clean[start : start + len(sent)] == sent
+    assert " ".join(p for _, p in parts) == clean
+
+
+@given(st.text(alphabet=st.sampled_from(list("abz'sx")), min_size=1, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_destem_only_strips_declared_suffixes(key):
+    ds = oracle.destem(key)
+    if ds is not None:
+        assert key.startswith(ds)
+        assert key[len(ds):] in ("s", "'s")
+        assert len(ds) >= 1
+
+
+@given(_texty)
+@settings(max_examples=300, deadline=None)
+def test_alias_key_is_stable_under_its_own_normalizations(term):
+    """alias_key must be insensitive to exactly the variation it exists to
+    erase: case, surrounding space, and (for already-keyed strings) a second
+    application changes nothing."""
+    k = oracle.alias_key(term)
+    assert k == oracle.alias_key(term.upper()) == oracle.alias_key(f"  {term} ")
+    assert oracle.alias_key(k) in (k, "")  # generic-word-only terms key to ""
+
+
+# token domain: tokens are produced by single-space-splitting CLEANED text,
+# so they never contain whitespace ($-before-\n regex semantics would differ
+# between Python/Java and DuckDB's RE2 outside this domain)
+_token = st.text(
+    alphabet=st.sampled_from(list("abcZ9.,;:!?()[]{}'\"-")), max_size=16
+)
+
+
+@given(_token)
+@settings(max_examples=200, deadline=None)
+def test_token_core_bounds(tok):
+    lead, core = oracle.token_core(tok)
+    assert 0 <= lead <= len(tok)
+    assert len(core) <= len(tok) - lead
+    assert tok[lead : lead + len(core)] == core
