@@ -197,6 +197,42 @@ def build_lsh_index(
     )
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 6,
+    num_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family scale path.
+
+    Candidate pairs come from shared LSH buckets of the materialized index
+    (self-join on (tbl, sig), id1 < id2 — collisions only, never the
+    quadratic cross product), then exact-cosine verification >= threshold
+    with hoisted norms. Recall follows the standard (1-(1-s^bits)^tables)
+    curve; raise num_tables for higher-recall dedup sweeps. Returns
+    (id1, id2, cos).
+    """
+    c = index if index is not None else build_lsh_index(
+        corpus, bits, num_tables, seed, id_col, vec_col, dim
+    )
+    a = c.select("tbl", "sig", F.col("vec_id").alias("id1"),
+                 F.col("c_emb").alias("e1"), F.col("c_norm").alias("n1"))
+    b = c.select("tbl", "sig", F.col("vec_id").alias("id2"),
+                 F.col("c_emb").alias("e2"), F.col("c_norm").alias("n2"))
+    cand = a.join(b, ["tbl", "sig"]).filter(F.col("id1") < F.col("id2")).dropDuplicates(
+        ["id1", "id2"]
+    )
+    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return cand.select("id1", "id2", cos.alias("cos")).filter(
+        F.col("cos") >= threshold
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,

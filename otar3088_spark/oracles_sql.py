@@ -452,15 +452,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT q_id, vec_id, round(cos, 4) AS cos, rnk
         FROM (
             SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
-                   list_cosine_similarity(x.embedding, q.embedding) AS cos,
+                   list_cosine_similarity(x.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(x.embedding, q.embedding) DESC,
+                       ORDER BY list_cosine_similarity(x.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
                                 x.vec_id ASC) AS rnk
             FROM embeddings x
             JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
               ON x.vec_id <> q.vec_id
         ) WHERE rnk <= 5
+    """,
+    "embedding_near_dups": """
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id < 500) a
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 500) b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
     """,
     "connected_components": """
         WITH RECURSIVE sym AS (

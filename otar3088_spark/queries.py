@@ -433,6 +433,29 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT variant (dedup op #5): all
+    pairs with cosine >= 0.45, hoisted norms, vec_id < 500 cap (same
+    cap-and-document convention as ngram_jaccard_pairs — the scale path is
+    the LSH-bucketed operators/similarity.py embedding_near_dups, whose
+    recall is unit-tested against this exact set)."""
+    from otar3088_spark.operators.similarity import _dot, _norm
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    c = e.select(
+        F.col("vec_id"), F.col("embedding"), _norm(F.col("embedding")).alias("nrm")
+    )
+    a = c.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
+    b = c.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        pairs.select("id1", "id2", cos.alias("c"))
+        .filter(F.col("c") >= 0.45)
+        .select("id1", "id2", F.round("c", 4).alias("cos"))
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC over a chain graph (P5 canonicalization primitive): edges link
     consecutive doc_ids sharing a lang; component = min reachable doc_id.
@@ -627,6 +650,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dups": q_embedding_near_dups,
     "connected_components": q_connected_components,
     # xxhash64-based: rows-only (no SQL oracle; pytest differential coverage)
     "minhash_near_dups": q_minhash_near_dups,

@@ -439,3 +439,42 @@ def test_star_cc_matches_union_find(spark):
         got = {(r["node"], r["component"]) for r in connected_components_star(edges).collect()}
         want = set(union_find(pairs).items())
         assert got == want, f"mismatch: extra={sorted(got-want)[:5]} missing={sorted(want-got)[:5]}"
+
+
+def test_embedding_near_dups_lsh_vs_exact(spark):
+    """The LSH-bucketed near-dup operator in its design regime (true
+    near-duplicates, cos >= 0.9): (a) emits only pairs the exact computation
+    confirms, (b) finds essentially all of them. Near-dups are injected as
+    lightly-perturbed copies of real vectors (collision probability per
+    table at s=0.9 is ~0.39; 16 tables -> expected recall ~0.9996)."""
+    import numpy as np
+    import pandas as _pd
+
+    from otar3088_spark.operators.similarity import cosine_expr, embedding_near_dups
+
+    base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").toPandas()
+    rng = np.random.RandomState(99)
+    X = np.vstack(base["embedding"].to_numpy()).astype(np.float64)
+    dup_src = rng.choice(len(X), size=60, replace=False)
+    dups = X[dup_src] + rng.randn(60, X.shape[1]) * 0.05 * np.abs(X[dup_src]).mean()
+    allX = np.vstack([X, dups]).astype(np.float32)
+    pdf = _pd.DataFrame({"vec_id": np.arange(len(allX), dtype=np.int64),
+                         "embedding": list(allX)})
+    emb = spark.createDataFrame(pdf)
+
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    exact = {
+        (r["id1"], r["id2"])
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .filter(cosine_expr(F.col("e1"), F.col("e2")) >= 0.9)
+        .collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in embedding_near_dups(emb, threshold=0.9, num_tables=16).collect()
+    }
+    assert approx <= exact  # verification removes every false candidate
+    assert len(exact) >= 50  # the injected duplicates are found by brute force
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"LSH near-dup recall too low: {recall}"
