@@ -181,9 +181,73 @@ SELECT doc_id, simhash, (simhash >> {bucket_shift})::BIGINT AS bucket FROM packe
 """
 
 
+def _ann_lsh_sql(
+    bits: int = 6, num_tables: int = 16, seed: int = 42, dim: int = 64,
+    n_probes: int = 10, k: int = 5,
+) -> str:
+    """Full LSH ANN replay in SQL: the engine's hyperplanes are a
+    deterministic seeded matrix (similarity._hyperplanes), embedded here as
+    literal arrays; signatures via list_inner_product sign bits, Hamming-1
+    multiprobe via xor, exact-cosine verify, window top-k — the identical
+    pipeline DuckDB can evaluate end to end."""
+    from otar3088_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(num_tables * bits, dim, seed)
+
+    def lit(row):
+        return "[" + ", ".join(f"{x:.1f}" for x in row) + "]"
+
+    sig_cols = []
+    for t in range(num_tables):
+        terms = " + ".join(
+            f"CASE WHEN list_inner_product(e, {lit(planes[t * bits + b])}) >= 0 "
+            f"THEN {1 << b} ELSE 0 END"
+            for b in range(bits)
+        )
+        sig_cols.append(f"({terms}) AS s{t}")
+    banded = "\n    UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, s{t} AS sig FROM sigt" for t in range(num_tables)
+    )
+    flips = ", ".join(str(m) for m in [0] + [1 << b for b in range(bits)])
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sigt AS (
+    SELECT vec_id, e,
+           {", ".join(sig_cols)}
+    FROM c
+),
+cidx AS (
+    {banded}
+),
+pidx AS (
+    SELECT vec_id AS q_id, e AS qe, tbl, xor(sig::BIGINT, f.m::BIGINT)::INT AS sig
+    FROM cidx, (SELECT unnest([{flips}]) AS m) f
+    WHERE vec_id < {n_probes}
+),
+cand AS (
+    SELECT DISTINCT p.q_id, c.vec_id, p.qe, c.e
+    FROM cidx c JOIN pidx p ON c.tbl = p.tbl AND c.sig = p.sig
+    WHERE c.vec_id <> p.q_id
+),
+scored AS (
+    SELECT q_id, vec_id,
+           list_inner_product(e, qe) /
+           (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe))) AS cos
+    FROM cand
+)
+SELECT q_id, vec_id, round(cos, 6) AS cos, rnk
+FROM (
+    SELECT q_id, vec_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {k}
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "minhash_near_dups_md5": _minhash_md5_sql(),
     "simhash_buckets_md5": _simhash_md5_sql(),
+    "ann_lsh_topk": _ann_lsh_sql(),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,

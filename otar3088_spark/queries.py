@@ -483,10 +483,11 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Mostly rows-only queries (xxhash64-based signatures are not reproducible in
-# DuckDB; correctness covered by the pytest differential suite). Exceptions
-# now oracle-checked: iob_roundtrip (derivable from the tagging CTE) and
-# model_mentions (md5 stand-in scorer — DuckDB evaluates md5).
+# Rows-only: only the xxhash64-hash-family twins (their md5 twins below are
+# fully oracle-checked) and the fixture-input kg_triples flagship. Everything
+# else here gained real DuckDB oracles: iob_roundtrip (derived from the
+# tagging CTE), model_mentions/seq_classify (md5 stand-ins), ann_lsh_topk
+# (literal hyperplane arrays + list_inner_product).
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,9 +605,10 @@ def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (similarity scale path):
     multi-table random-hyperplane signatures + Hamming-1 multiprobe +
-    exact-cosine verify. xxhash64-derived hyperplanes are not reproducible
-    in DuckDB -> rows-only check; recall vs brute force is pytest-verified
-    (>=0.7 at bits=6, L=16)."""
+    exact-cosine verify. Fully oracle-checked: the seeded hyperplane matrix
+    is embedded in the DuckDB SQL as literal arrays (list_inner_product sign
+    bits), so DuckDB replays the identical index + probe + verify pipeline.
+    Recall vs brute force additionally pytest-verified."""
     from otar3088_spark.operators.similarity import ann_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
