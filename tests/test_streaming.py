@@ -88,3 +88,53 @@ def test_batch_write_replay_is_idempotent(spark, tmp_path):
     write_triples_batch(t, 8, out)  # a genuinely new batch appends
     assert spark.read.parquet(out).count() == 4
     assert {r["batch_id"] for r in spark.read.parquet(out).select("batch_id").distinct().collect()} == {7, 8}
+
+
+def test_stateful_conversation_progress(spark, transcripts_pd, tmp_path):
+    """applyInPandasWithState: per-conversation counters accumulate across
+    micro-batches AND across separate availableNow runs (state store
+    checkpointed with the stream)."""
+    from otar3088_spark.streaming.ingest import read_transcript_stream
+    from otar3088_spark.streaming.stateful import conversation_progress
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = read_transcript_stream(spark, input_dir)
+        (
+            conversation_progress(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")  # parquet sink; update rows appended per batch
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    conv = "conv_000000"
+    expected = transcripts_pd[transcripts_pd["conv_id"] == conv]
+
+    _write_batch(spark, transcripts_pd, input_dir, 0, 10)
+    run_once()
+    _write_batch(spark, transcripts_pd, input_dir, 10, 20)  # new files, same convs absent
+    # re-append conv 0..10 turns again? No — second batch holds convs 10..19;
+    # state for conv_000000 must persist unchanged, conv_000010 appears new.
+    run_once()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    c0 = out[out["conv_id"] == conv].sort_values("total_turns")
+    # conv_000000 was fully delivered in run 1
+    assert int(c0["total_turns"].max()) == len(expected)
+    assert int(c0["total_chars"].max()) == int(expected["text"].fillna("").str.len().sum())
+    c10 = out[out["conv_id"] == "conv_000010"]
+    exp10 = transcripts_pd[transcripts_pd["conv_id"] == "conv_000010"]
+    assert int(c10["total_turns"].max()) == len(exp10)
+
+    # third run with a REPEAT of conv_000000's rows: cumulative state grows
+    _write_batch(spark, transcripts_pd, input_dir, 0, 1)
+    run_once()
+    out2 = spark.read.parquet(out_dir).toPandas()
+    assert int(out2[out2["conv_id"] == conv]["total_turns"].max()) == 2 * len(expected)
