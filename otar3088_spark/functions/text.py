@@ -64,7 +64,10 @@ def strip_xml_expr(col: Column) -> Column:
     text path stays JVM-side and pushdown-friendly."""
     c = col
     for t in _XML_DROP_TAGS:
-        c = F.regexp_replace(c, rf"(?s)<{t}\b[^>]*>.*?</{t}>", " ")
+        # (?=[\s/>]) anchors the tag NAME: plain \b would also match
+        # hyphen-extended JATS names ("<fig-count .../>" as a <fig> opener)
+        # and non-greedily swallow everything up to the first real closer.
+        c = F.regexp_replace(c, rf"(?s)<{t}(?=[\s/>])[^>]*>.*?</{t}>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
     return clean_text_expr(c)

@@ -241,6 +241,7 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
         return nbrs.union(center).distinct()
 
     cur = e
+    converged = False
     for _ in range(max_iter):
         nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
         # converged when the (big -> small) edge set is unchanged
@@ -252,8 +253,20 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
         )
         cur = nxt
         if changed == 0:
+            converged = True
             break
-    all_nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
+    if not converged:
+        # a non-star edge set would emit a node in several components —
+        # fail loudly instead (O(log² n) rounds suffice for any real graph;
+        # hitting this means max_iter was set far too low)
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # nodes come from the RAW edge list so self-loop-only nodes still get a
+    # singleton component row (parity with connected_components)
+    all_nodes = (
+        edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
+    )
     comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     return (
         all_nodes.withColumnRenamed("src", "node")

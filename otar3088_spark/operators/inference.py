@@ -81,14 +81,21 @@ def _stand_in_scorer(sentences: pd.Series) -> list[list[tuple[int, int, str, flo
 def model_mentions(
     sentences: DataFrame,
     scorer: Callable[[pd.Series], list[list[tuple[int, int, str, float]]]] | None = None,
-    batch_key: str = "default",
+    batch_key: str | None = None,
 ) -> DataFrame:
     """Batched model inference over sentence rows -> mention spans.
 
     ``scorer(sent_texts) -> [[(start, end, label, score), ...], ...]`` is
     loaded once per executor process (singleton dict) — swapping in a real
     HF ``pipeline("token-classification")`` changes nothing structurally.
-    """
+    The singleton key defaults to a per-scorer identity so a session that
+    first ran the stand-in can never silently serve a later, different
+    scorer from the cache; pass ``batch_key`` explicitly to share one loaded
+    model across calls."""
+    if batch_key is None:
+        import uuid
+
+        batch_key = "standin-ner" if scorer is None else f"scorer-{uuid.uuid4().hex}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _MODEL_SINGLETON.get(batch_key)
@@ -136,7 +143,10 @@ def _stand_in_classifier(sentences: pd.Series) -> list[tuple[str, float]]:
     DuckDB oracle can replay it."""
     out = []
     for sent in sentences:
-        h = hashlib.md5(sent.strip().lower().encode()).digest()
+        # explicit strip set = the DuckDB oracle's trim charset (Python's
+        # bare .strip() also eats \x0b/\x0c/unicode spaces, which SQL trim
+        # does not — that skew would break the oracle on exotic whitespace)
+        h = hashlib.md5(sent.strip(" \t\n\r").lower().encode()).digest()
         out.append((_CLASSES[h[0] % len(_CLASSES)], round(0.5 + h[1] / 1000.0, 4)))
     return out
 
@@ -144,13 +154,18 @@ def _stand_in_classifier(sentences: pd.Series) -> list[tuple[str, float]]:
 def model_classify(
     sentences: DataFrame,
     classifier: Callable[[pd.Series], list[tuple[str, float]]] | None = None,
-    batch_key: str = "seqcls",
+    batch_key: str | None = None,
 ) -> DataFrame:
     """M2 sequence classification (reference model_tests.ipynb cell 6 runs a
     sequence head in the same torch loop as token classification): one
     (class, score) per sentence row, Arrow-batched mapInPandas with the same
-    per-executor-singleton loading discipline as ``model_mentions``. A real
-    HF ``pipeline("text-classification")`` plugs in via ``classifier=``."""
+    per-executor-singleton loading discipline (and per-scorer cache keying)
+    as ``model_mentions``. A real HF ``pipeline("text-classification")``
+    plugs in via ``classifier=``."""
+    if batch_key is None:
+        import uuid
+
+        batch_key = "standin-seqcls" if classifier is None else f"cls-{uuid.uuid4().hex}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _MODEL_SINGLETON.get(batch_key)

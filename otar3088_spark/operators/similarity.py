@@ -245,15 +245,18 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     index: DataFrame | None = None,
-    persist_index: bool = True,
+    persist_index: bool = False,
     use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH bucket join -> exact verify ->
     window top-k.
 
     ``index``: a prebuilt ``build_lsh_index`` table (the production path —
-    built once per corpus snapshot). When absent it is built here and
-    persisted so the single query computes corpus signatures exactly once.
+    built once per corpus snapshot). When absent it is built inline; the
+    single query consumes it once, so ``persist_index`` defaults to False —
+    persisting an ad-hoc index would leak cached partitions across calls
+    (never unpersisted from inside a lazy plan). Persist/write the index
+    yourself when serving multiple query batches.
     ``num_tables`` independent hyperplane sets union their candidate sets;
     ``multiprobe`` additionally probes all Hamming-1 neighbor buckets per
     table. Candidate volume ~ num_tables × (|corpus| / 2^bits) × (1 + bits

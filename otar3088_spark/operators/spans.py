@@ -81,14 +81,17 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     # CORE-token extent (start+lead .. start+lead+len(core)) because
     # tag_mentions emits spans at punctuation-stripped extents — a raw-extent
     # check would leave a mention in "HeLa." covering no token (all-O). The
-    # FIRST covered token gets B- (p.start >= raw token start holds only for
-    # the first covered token), matching the reference IOBConverter which
-    # tags the first fully-contained token B- (iob_converter.py:47-68). Min
-    # label breaks overlaps deterministically. One join + per-row
-    # expressions; core/lead derived inline from the token (two regexes per
-    # token beat materializing three parallel arrays + an arrays_zip — this
-    # path is allocation-bandwidth bound, not CPU bound).
-    def tag_at(t, s):
+    # FIRST covered token of a span gets B- — literally "no earlier token is
+    # covered by this span", checked against the previous token's core
+    # extent, so spans whose start lands on inter-token punctuation/space
+    # (external annotations, e.g. BioC offsets) still open correctly —
+    # matching the reference IOBConverter which tags the first
+    # fully-contained token B- (iob_converter.py:47-68). Min label breaks
+    # overlaps deterministically. One join + per-row expressions; core/lead
+    # derived inline from tokens (regexes per token beat materializing
+    # parallel arrays — this path is allocation-bandwidth bound).
+    def tag_at(t, i):
+        s = F.element_at(F.col("starts"), i + 1)
         lead = token_lead_expr(t)
         core_len = F.length(token_core_expr(t))
         cs = s + lead
@@ -97,7 +100,21 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
             F.col("sp"),
             lambda p: (core_len > 0) & (cs >= p["start"]) & (ce <= p["end"]),
         )
-        starting = F.filter(covering, lambda p: p["start"] >= s)
+        prev_t = F.try_element_at(F.col("toks"), i)  # 1-based: i == previous
+        prev_s = F.try_element_at(F.col("starts"), i)
+        prev_core_len = F.length(token_core_expr(prev_t))
+        prev_cs = prev_s + token_lead_expr(prev_t)
+        prev_ce = prev_cs + prev_core_len
+
+        def is_first(p):
+            prev_cov = (
+                (prev_core_len > 0)
+                & (prev_cs >= p["start"])
+                & (prev_ce <= p["end"])
+            )
+            return (i == 0) | ~F.coalesce(prev_cov, F.lit(False))
+
+        starting = F.filter(covering, is_first)
         b_label = F.array_min(F.transform(starting, lambda p: p["label"]))
         i_label = F.array_min(F.transform(covering, lambda p: p["label"]))
         return (
@@ -109,7 +126,7 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     return j.select(
         *key3,
         F.col("toks").alias("tokens"),
-        F.zip_with("toks", "starts", tag_at).alias("tags"),
+        F.transform("toks", tag_at).alias("tags"),
     )
 
 

@@ -104,12 +104,17 @@ def tag_mentions(
     # distinct first tokens the pre-filter is skipped automatically (the
     # broadcast hash join below prunes non-anchors just as correctly, one
     # narrow stage later). The count is a cheap agg over the broadcast dim.
-    firsts: list[str] | None = None
-    n_firsts = dictionary.select("first_tok").distinct().count()
-    if n_firsts <= max_prefilter_terms:
-        firsts = sorted(
-            r["first_tok"] for r in dictionary.select("first_tok").distinct().collect()
-        )
+    # ONE bounded job decides and fetches: limit(max+1) caps driver memory,
+    # and an over-limit result means "skip the prefilter".
+    firsts: list[str] | None = sorted(
+        r["first_tok"]
+        for r in dictionary.select("first_tok")
+        .distinct()
+        .limit(max_prefilter_terms + 1)
+        .collect()
+    )
+    if len(firsts) > max_prefilter_terms:
+        firsts = None
 
     # --- stage 1: anchor detection (allocation-lean) ------------------------
     # The hot path is ALLOCATION-BANDWIDTH bound, not CPU bound: building

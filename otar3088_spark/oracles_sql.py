@@ -414,7 +414,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # M2 stand-in classifier: class from md5 byte0 % 4, score from byte1
     "seq_classify": """
-        WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS hx FROM documents),
+        WITH h AS (SELECT doc_id,
+                          md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS hx
+                   FROM documents),
         b AS (
             SELECT doc_id,
                    16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)

@@ -295,7 +295,7 @@ def test_strip_xml_expr(spark):
     from otar3088_spark.functions.text import strip_xml_expr
 
     xml = (
-        "<article><body><sec><title>Results</title>"
+        "<article><fig-count count=\"2\"/><body><sec><title>Results</title>"
         "<p>HeLa cells <xref ref-type=\"bibr\" rid=\"b1\">1</xref> grew "
         "<inline-formula><mml:math>x^2</mml:math></inline-formula> fast.</p>"
         "<table-wrap id=\"t1\"><table><tr><td>drop me</td></tr></table></table-wrap>"

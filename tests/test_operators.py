@@ -478,3 +478,34 @@ def test_embedding_near_dups_lsh_vs_exact(spark):
     assert len(exact) >= 50  # the injected duplicates are found by brute force
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.95, f"LSH near-dup recall too low: {recall}"
+
+
+def test_star_cc_keeps_self_loop_nodes(spark):
+    from otar3088_spark.operators.canonicalize import connected_components_star
+
+    edges = spark.createDataFrame(
+        [("a", "a"), ("b", "c")], "src string, dst string"
+    )
+    got = {(r["node"], r["component"]) for r in connected_components_star(edges).collect()}
+    assert got == {("a", "a"), ("b", "b"), ("c", "b")}
+
+
+def test_spans_to_iob_midtoken_span_start(spark):
+    """A span whose start offset lands on inter-token punctuation (external
+    annotation offsets) must still open B- at its first covered token."""
+    from otar3088_spark.operators.spans import iob_to_spans, spans_to_iob
+
+    #        0123456789
+    # text = "foo, bar x."
+    sents = spark.createDataFrame(
+        [("c1", 0, 0, "foo, bar x.")],
+        "conv_id string, turn_idx int, sent_idx int, sent_text string",
+    )
+    spans = spark.createDataFrame(
+        [("c1", 0, 0, 3, 8, "X")],  # starts on the comma, covers 'bar'
+        "conv_id string, turn_idx int, sent_idx int, start int, end int, label string",
+    )
+    iob = spans_to_iob(sents, spans).collect()[0]
+    assert iob["tags"] == ["O", "B-X", "O"]
+    back = iob_to_spans(spans_to_iob(sents, spans)).collect()
+    assert len(back) == 1 and back[0]["text"] == "bar"
