@@ -44,9 +44,28 @@ _MODEL_SINGLETON: dict[str, object] = {}
 
 # per-executor memo: token -> (label, score) or None (md5 is deterministic,
 # token vocabularies are Zipf-distributed — the memo removes nearly all
-# hashlib calls from the stand-in's hot loop without changing a single
-# emitted value)
+# hashlib calls from the stand-in's hot loop). The memo itself is a pure
+# cache: for a given score formula it changes no emitted value. (The score
+# formula was separately changed from /512 to round(·/1000, 4) for exact
+# DuckDB-oracle parity — that was a deliberate value change, not a memo
+# side effect.)
 _TOKEN_MEMO: dict[str, tuple[str, float] | None] = {}
+
+
+def _scorer_cache_key(prefix: str, fn: object) -> str:
+    """Stable per-executor cache key for a scorer/classifier callable.
+
+    Keyed by module.qualname so repeated calls with the same (or an
+    equivalent re-imported) scorer share ONE loaded model per executor
+    instead of minting a fresh uuid entry per call — with a real HF pipeline
+    a per-call key would re-'load' the model every call and leak a full
+    model per call into the never-evicted singleton dict. Callers with two
+    distinct same-qualname scorers (e.g. differently-configured closures)
+    must pass an explicit ``batch_key``.
+    """
+    mod = getattr(fn, "__module__", None) or type(fn).__module__
+    qn = getattr(fn, "__qualname__", None) or type(fn).__qualname__
+    return f"{prefix}-{mod}.{qn}"
 
 
 def _stand_in_scorer(sentences: pd.Series) -> list[list[tuple[int, int, str, float]]]:
@@ -93,9 +112,9 @@ def model_mentions(
     scorer from the cache; pass ``batch_key`` explicitly to share one loaded
     model across calls."""
     if batch_key is None:
-        import uuid
-
-        batch_key = "standin-ner" if scorer is None else f"scorer-{uuid.uuid4().hex}"
+        batch_key = (
+            "standin-ner" if scorer is None else _scorer_cache_key("scorer", scorer)
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _MODEL_SINGLETON.get(batch_key)
@@ -163,9 +182,11 @@ def model_classify(
     as ``model_mentions``. A real HF ``pipeline("text-classification")``
     plugs in via ``classifier=``."""
     if batch_key is None:
-        import uuid
-
-        batch_key = "standin-seqcls" if classifier is None else f"cls-{uuid.uuid4().hex}"
+        batch_key = (
+            "standin-seqcls"
+            if classifier is None
+            else _scorer_cache_key("cls", classifier)
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _MODEL_SINGLETON.get(batch_key)
@@ -284,8 +305,21 @@ def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFr
     dictionary spans dedup cleanly. Candidates are disambiguated per
     (span, label) by min (rank, ent_id) — exact-key links beat alias links,
     then the same min-ent pick drop_contained applies on the gazetteer path.
-    Pure Catalyst expressions + one broadcast join; unlinked model mentions
-    are dropped (no dictionary entity to ground a triple on).
+
+    JOIN SHAPE (the 100-TB-critical part): a naive OR-of-equalities join
+    condition (``key_exact = dict_key OR key_ds = dict_key OR akey =
+    dict_akey``) cannot be hash-partitioned and degenerates to a
+    BroadcastNestedLoopJoin — O(|mentions| × |dict|) predicate evaluations,
+    catastrophic at 10⁹ mentions × 10⁶-term gazetteers. Instead both sides
+    are EXPLODED to ``(match_key, rank)`` candidate rows (mention: exact key
+    and destemmed key at rank 0, alias key at rank 1; dictionary: term-token
+    key at rank 0, alias key at rank 1) and equi-joined on the two columns —
+    a plain BroadcastHashJoin. The rank column both namespaces the keys
+    (exact keys never collide with alias keys) and feeds the same
+    min-(rank, ent_id) disambiguation, so a mention matching one dict row
+    through both tiers yields two candidate rows whose min is identical to
+    the old single rank-0 row. Output is provably unchanged; the plan is
+    hash-joinable and linear in candidates.
     """
     from pyspark.sql import functions as F
 
@@ -331,19 +365,65 @@ def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFr
         F.expr("substring(_surface_raw, _lead1 + 1, end - start)"),
     ).drop("_surface_raw", "_lead1")
 
+    # mention side: explode to (match_key, rank) candidate rows. Nulls
+    # (key_ds absent) and empty alias keys are filtered out; array_distinct
+    # collapses key_exact == key_ds so no duplicate candidates are minted.
+    mk = F.explode(
+        F.array_distinct(
+            F.filter(
+                F.array(
+                    F.struct(F.col("key_exact").alias("k"), F.lit(0).alias("rank")),
+                    F.struct(F.col("key_ds").alias("k"), F.lit(0).alias("rank")),
+                    F.struct(
+                        F.when(F.length("akey") > 0, F.col("akey")).alias("k"),
+                        F.lit(1).alias("rank"),
+                    ),
+                ),
+                lambda s: s["k"].isNotNull(),
+            )
+        )
+    )
+    m_keyed = m.select(
+        "conv_id", "turn_idx", "sent_idx", "score", "start", "end", "surface",
+        mk.alias("mk"),
+    ).select(
+        "conv_id", "turn_idx", "sent_idx", "score", "start", "end", "surface",
+        F.col("mk")["k"].alias("match_key"),
+        F.col("mk")["rank"].alias("rank"),
+    )
+
+    dk = F.explode(
+        F.array_distinct(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.concat_ws(" ", F.col("term_tokens")).alias("k"),
+                        F.lit(0).alias("rank"),
+                    ),
+                    F.struct(
+                        F.when(
+                            F.length(alias_key_expr(F.col("term"))) > 0,
+                            alias_key_expr(F.col("term")),
+                        ).alias("k"),
+                        F.lit(1).alias("rank"),
+                    ),
+                ),
+                lambda s: s["k"].isNotNull(),
+            )
+        )
+    )
     d = F.broadcast(
-        dictionary.select(
-            F.concat_ws(" ", F.col("term_tokens")).alias("dict_key"),
-            alias_key_expr(F.col("term")).alias("dict_akey"),
+        dictionary.select("term", "label", "ent_id", dk.alias("dk")).select(
+            F.col("dk")["k"].alias("dict_key"),
+            F.col("dk")["rank"].alias("dict_rank"),
             "term", "label", "ent_id",
         )
     )
-    exact_hit = (F.col("key_exact") == F.col("dict_key")) | (
-        F.col("key_ds") == F.col("dict_key")
-    )
-    alias_hit = (F.length("akey") > 0) & (F.col("akey") == F.col("dict_akey"))
-    linked = m.join(d, exact_hit | alias_hit, "inner").withColumn(
-        "rank", F.when(exact_hit, F.lit(0)).otherwise(F.lit(1))
+    linked = m_keyed.join(
+        d,
+        (F.col("match_key") == F.col("dict_key"))
+        & (F.col("rank") == F.col("dict_rank")),
+        "inner",
     )
     key5 = ["conv_id", "turn_idx", "sent_idx", "start", "end"]
     return (
