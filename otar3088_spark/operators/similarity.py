@@ -207,6 +207,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     dim: int = 64,
     index: DataFrame | None = None,
+    persist_index: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup-family scale path.
 
@@ -216,10 +217,19 @@ def embedding_near_dups(
     with hoisted norms. Recall follows the standard (1-(1-s^bits)^tables)
     curve; raise num_tables for higher-recall dedup sweeps. Returns
     (id1, id2, cos).
+
+    The self-join consumes the index plan TWICE (sides a and b): without a
+    materialized ``index``, the corpus scan + Arrow signature pass would
+    execute twice per run. ``persist_index=True`` caches the inline index
+    before deriving the two sides (same trade-off as ``ann_lsh_topk``: the
+    cache is never unpersisted from inside the lazy plan — at scale, pass a
+    written ``build_lsh_index`` table instead).
     """
     c = index if index is not None else build_lsh_index(
         corpus, bits, num_tables, seed, id_col, vec_col, dim
     )
+    if index is None and persist_index:
+        c = c.persist()
     a = c.select("tbl", "sig", F.col("vec_id").alias("id1"),
                  F.col("c_emb").alias("e1"), F.col("c_norm").alias("n1"))
     b = c.select("tbl", "sig", F.col("vec_id").alias("id2"),

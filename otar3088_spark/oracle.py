@@ -73,6 +73,14 @@ def destem(key: str) -> str | None:
     return None
 
 
+def lemma(key: str, overrides: dict[str, str] | None = None) -> str | None:
+    """F8 mirror of functions/text.py lemma_expr: irregular override first,
+    then the rule-based destem."""
+    if overrides and key in overrides:
+        return overrides[key]
+    return destem(key)
+
+
 def prepare_dictionary(dict_df: pd.DataFrame) -> pd.DataFrame:
     d = dict_df[dict_df["term"].str.len() > 2].copy()
     d = d[~((d["label"] == "Anatomy") & d["term"].str.lower().str.contains(REDLIST))]
@@ -83,7 +91,11 @@ def prepare_dictionary(dict_df: pd.DataFrame) -> pd.DataFrame:
     return d.reset_index(drop=True)
 
 
-def _match_sentence(sent: str, dict_rows: list[tuple]) -> list[dict]:
+def _match_sentence(
+    sent: str,
+    dict_rows: list[tuple],
+    lemma_overrides: dict[str, str] | None = None,
+) -> list[dict]:
     toks = sent.split(" ")
     starts, cur = [], 0
     for t in toks:
@@ -91,7 +103,7 @@ def _match_sentence(sent: str, dict_rows: list[tuple]) -> list[dict]:
         cur += len(t) + 1
     leads, cores = zip(*(token_core(t) for t in toks)) if toks else ((), ())
     keys = [c.lower() for c in cores]
-    keys_ds = [destem(k) for k in keys]
+    keys_ds = [lemma(k, lemma_overrides) for k in keys]
 
     spans = []
     for pos in range(len(toks)):
@@ -206,7 +218,10 @@ def _link_model_spans(
 
 
 def extract_spans(
-    transcripts: pd.DataFrame, dict_df: pd.DataFrame, with_model: bool = False
+    transcripts: pd.DataFrame,
+    dict_df: pd.DataFrame,
+    with_model: bool = False,
+    lemma_overrides: dict[str, str] | None = None,
 ) -> pd.DataFrame:
     d = prepare_dictionary(dict_df)
     dict_rows = list(
@@ -231,7 +246,7 @@ def extract_spans(
     ):
         clean = clean_text(text)
         for sent_idx, (cstart, sent) in enumerate(sentences_of(clean)):
-            kept = _match_sentence(sent, dict_rows)
+            kept = _match_sentence(sent, dict_rows, lemma_overrides)
             if with_model:
                 # dictionary precedence on exact (start, end) collision —
                 # merge_spans_with_model semantics
@@ -311,9 +326,14 @@ def golden_triples(
     dict_df: pd.DataFrame,
     events: pd.DataFrame | None = None,
     with_model: bool = False,
+    lemma_overrides: dict[str, str] | None = None,
 ) -> pd.DataFrame:
     """Distinct (subj, pred, obj) golden set."""
-    spans = resolve_labels(extract_spans(transcripts, dict_df, with_model=with_model))
+    spans = resolve_labels(
+        extract_spans(
+            transcripts, dict_df, with_model=with_model, lemma_overrides=lemma_overrides
+        )
+    )
     clusters = entity_clusters(dict_df)
     rows = set()
     for r in spans.itertuples(index=False):

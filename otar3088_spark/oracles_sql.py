@@ -9,7 +9,7 @@ documents embeddings.
 
 from __future__ import annotations
 
-from otar3088_spark.queries import DOC_DICT
+from otar3088_spark.queries import DOC_DICT, KG_FIXTURE_DIR
 
 _DOC_DICT_VALUES = ", ".join(f"('{i}', '{t}', '{l}')" for (i, t, l) in DOC_DICT)
 
@@ -244,7 +244,242 @@ FROM (
 """
 
 
+# ---- full gazetteer KG-pipeline oracle -------------------------------------
+# Replays build_kg's deterministic path (normalize -> clean -> sentencize ->
+# token-blocked tagging with the IRREGULAR_PLURALS lemma table -> min-ent /
+# longest-match dedup -> mode-label resolution -> alias-key connected
+# components -> triple fan-out) as ONE DuckDB CTE chain over the SAME
+# committed parquet corpus the Spark twin reads (fixtures/kg/*). RE2 has no
+# lookbehind, so the engine's guarded sentence-boundary regex is restated at
+# token level: a boundary follows token t iff t ends in [.!?], is not a
+# protected abbreviation suffix (word-boundary anchored), not a single
+# capital initial, and not the 'al.' of a preceding 'et'.
+
+
+def _lemma_case_sql(col: str) -> str:
+    """COALESCE(irregular-override CASE, rule destem) — functions/text.py
+    lemma_expr restated in SQL; the override map is embedded literally."""
+    from otar3088_spark.functions.text import IRREGULAR_PLURALS
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(IRREGULAR_PLURALS.items())
+    )
+    destem = (
+        f"CASE WHEN {col} LIKE '%''s' AND length({col}) > 2 THEN substr({col}, 1, length({col}) - 2) "
+        f"WHEN {col} LIKE '%s' AND length({col}) > 3 THEN substr({col}, 1, length({col}) - 1) END"
+    )
+    return f"COALESCE(CASE {col} {whens} END, {destem})"
+
+
+def _kg_gazetteer_sql(max_n: int = 4) -> str:
+    """Oracle for q_kg_triples_gazetteer. ``max_n`` must cover the longest
+    dictionary term in the fixture (4: 'bone marrow stromal cell')."""
+    tdir = str(KG_FIXTURE_DIR)
+    abbrevs = (
+        r"e\.g\.|i\.e\.|cf\.|vs\.|ca\.|approx\.|Fig\.|fig\.|Figs\.|Dr\.|No\.|Eq\.|Ref\."
+    )
+    headers = (
+        "abstract|introduction|methods|results|discussion|conclusion|background|"
+        "acknowledgements|references|conflict of interest|supplementary material"
+    )
+    lemma_k = _lemma_case_sql("key")
+
+    # n-gram candidate passes: first token exact, mid tokens exact, last
+    # token exact-or-lemma (n=1: the single token is the last token)
+    cands = [f"""
+    SELECT k1.conv_id, k1.turn_idx, k1.sent_idx,
+           (k1.rawstart + k1.lead)::INT AS start,
+           (k1.rawstart + k1.lead + k1.corelen)::INT AS "end",
+           d.term, d.label, d.ent_id
+    FROM ktok k1 JOIN dictn d
+      ON d.n = 1 AND (k1.key = d.tt[1] OR k1.key_lm = d.tt[1])"""]
+    for n in range(2, max_n + 1):
+        joins = []
+        for i in range(2, n + 1):
+            cond = (
+                f"(t{i}.key = d.tt[{i}] OR t{i}.key_lm = d.tt[{i}])"
+                if i == n
+                else f"t{i}.key = d.tt[{i}]"
+            )
+            joins.append(
+                f"    JOIN ktok t{i} ON t{i}.conv_id = k1.conv_id AND t{i}.turn_idx = k1.turn_idx\n"
+                f"      AND t{i}.sent_idx = k1.sent_idx AND t{i}.spos = k1.spos + {i - 1} AND {cond}"
+            )
+        cands.append(f"""
+    SELECT k1.conv_id, k1.turn_idx, k1.sent_idx,
+           (k1.rawstart + k1.lead)::INT AS start,
+           (t{n}.rawstart + t{n}.lead + t{n}.corelen)::INT AS "end",
+           d.term, d.label, d.ent_id
+    FROM dictn d JOIN ktok k1 ON d.n = {n} AND k1.key = d.tt[1]
+{chr(10).join(joins)}""")
+    all_cands = "\n    UNION ALL".join(cands)
+
+    return f"""
+WITH RECURSIVE raw AS (
+    SELECT DISTINCT conv_id, turn_idx::INT AS turn_idx, text
+    FROM read_parquet('{tdir}/transcripts.parquet')
+    WHERE text IS NOT NULL AND conv_id IS NOT NULL
+      AND NOT regexp_matches(lower(trim(text)), '^({headers})$')
+      AND NOT regexp_matches(lower(trim(text)), '^pmc[0-9]+$')
+),
+turns AS (
+    SELECT conv_id, turn_idx,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '\\{{[^{{}}]*\\}}', ' ', 'g'),
+               '\\\\[a-zA-Z]+', ' ', 'g'),
+               '\\[[0-9]+(\\s*,\\s*[0-9]+)*\\]', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS ct
+    FROM raw
+),
+ttok AS (
+    SELECT conv_id, turn_idx,
+           unnest(string_split(ct, ' ')) AS tok,
+           generate_subscripts(string_split(ct, ' '), 1) AS pos
+    FROM turns WHERE length(ct) > 0
+),
+tmark AS (
+    SELECT conv_id, turn_idx, tok, pos,
+           CASE
+             WHEN pos = count(*) OVER (PARTITION BY conv_id, turn_idx) THEN 0
+             WHEN NOT regexp_matches(tok, '[.!?]$') THEN 0
+             WHEN regexp_matches(tok, '(^|[^A-Za-z0-9_])({abbrevs})$') THEN 0
+             WHEN regexp_matches(tok, '(^|[^A-Za-z0-9_])[A-Z]\\.$') THEN 0
+             WHEN tok = 'al.' AND regexp_matches(
+                 lag(tok) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos),
+                 '(^|[^A-Za-z0-9_])et$') THEN 0
+             ELSE 1
+           END AS bnd
+    FROM ttok
+),
+tsent AS MATERIALIZED (
+    SELECT *, COALESCE(SUM(bnd) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS sent_idx
+    FROM tmark
+),
+sents AS MATERIALIZED (
+    SELECT conv_id, turn_idx, sent_idx,
+           string_agg(tok, ' ' ORDER BY pos) AS sent_text
+    FROM tsent GROUP BY conv_id, turn_idx, sent_idx
+),
+stok AS (
+    SELECT conv_id, turn_idx, sent_idx, tok,
+           row_number() OVER (PARTITION BY conv_id, turn_idx, sent_idx ORDER BY pos)::INT AS spos,
+           COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY conv_id, turn_idx, sent_idx ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS rawstart
+    FROM tsent
+),
+ktok AS MATERIALIZED (
+    SELECT conv_id, turn_idx, sent_idx, spos, rawstart,
+           length(tok) - length(regexp_replace(tok, '^[(\\["'']+', '')) AS lead,
+           length(key) AS corelen, key, {lemma_k} AS key_lm
+    FROM (
+        SELECT *, lower(regexp_replace(regexp_replace(tok, '^[(\\["'']+', ''),
+                                       '[)\\].,;:!?"'']+$', '')) AS key
+        FROM stok
+    )
+),
+dictn AS MATERIALIZED (
+    SELECT DISTINCT ent_id, label, term, tt, len(tt)::INT AS n
+    FROM (
+        SELECT ent_id, label, term,
+               string_split_regex(lower(trim(term)), '\\s+') AS tt
+        FROM read_parquet('{tdir}/dictionary.parquet')
+        WHERE length(term) > 2
+          AND NOT (label = 'Anatomy' AND regexp_matches(lower(term), '(genesis|cytic|ial|yal)$'))
+    )
+),
+allm AS ({all_cands}
+),
+dedup AS MATERIALIZED (SELECT DISTINCT conv_id, turn_idx, sent_idx, start, "end", term, label, ent_id FROM allm),
+picked AS MATERIALIZED (
+    SELECT a.* FROM dedup a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM dedup b
+        WHERE b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx AND b.sent_idx = a.sent_idx
+          AND b.start = a.start AND b."end" = a."end" AND b.label = a.label
+          AND b.ent_id < a.ent_id
+    )
+),
+spans AS MATERIALIZED (
+    SELECT p.*, substr(s.sent_text, p.start + 1, p."end" - p.start) AS surface
+    FROM picked p
+    JOIN sents s ON s.conv_id = p.conv_id AND s.turn_idx = p.turn_idx AND s.sent_idx = p.sent_idx
+    WHERE NOT EXISTS (
+        SELECT 1 FROM picked b
+        WHERE b.conv_id = p.conv_id AND b.turn_idx = p.turn_idx AND b.sent_idx = p.sent_idx
+          AND b.start <= p.start AND p."end" <= b."end"
+          AND (b."end" - b.start) > (p."end" - p.start)
+    )
+),
+counts AS (
+    SELECT lower(term) AS term_key, label, count(*) AS cnt FROM spans GROUP BY 1, 2
+),
+winners AS (
+    SELECT term_key, label AS rlabel FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY term_key
+            ORDER BY cnt DESC,
+                     CASE label WHEN 'CellLine' THEN 0 WHEN 'Anatomy' THEN 1
+                                WHEN 'CellType' THEN 2 WHEN 'Tissue' THEN 3
+                                WHEN 'Drug' THEN 4 WHEN 'AdverseEvent' THEN 5
+                                ELSE 6 END ASC,
+                     label ASC) AS rn
+        FROM counts
+    ) WHERE rn = 1
+),
+resolved AS (
+    SELECT s.* FROM spans s
+    JOIN winners w ON lower(s.term) = w.term_key AND s.label = w.rlabel
+),
+akf AS (
+    SELECT ent_id,
+           regexp_replace(array_to_string(
+               list_filter(string_split_regex(lower(trim(term)), '\\s+'),
+                           t -> t NOT IN ('cell','cells','line','lines','tissue','tissues')),
+               ''), '[^a-z0-9]', '', 'g') AS akey
+    FROM dictn
+),
+reps AS (SELECT akey, min(ent_id) AS rep FROM akf WHERE length(akey) > 0 GROUP BY akey),
+aedges AS (
+    SELECT DISTINCT a.ent_id AS src, r.rep AS dst
+    FROM akf a JOIN reps r USING (akey)
+    WHERE length(a.akey) > 0 AND a.ent_id <> r.rep
+),
+asym AS (SELECT src, dst FROM aedges UNION SELECT dst, src FROM aedges),
+walk(node, comp) AS (
+    SELECT src, src FROM asym
+    UNION
+    SELECT s.dst, w.comp FROM walk w JOIN asym s ON s.src = w.node
+),
+comps AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+clusters AS (
+    SELECT d.ent_id, COALESCE(c.component, d.ent_id) AS cluster_id
+    FROM (SELECT DISTINCT ent_id FROM dictn) d
+    LEFT JOIN comps c ON c.node = d.ent_id
+),
+jj AS (SELECT r.*, c.cluster_id FROM resolved r JOIN clusters c USING (ent_id)),
+tri AS (
+    SELECT ent_id AS subj, 'is_a' AS pred, label AS obj,
+           conv_id, turn_idx, start, "end" FROM jj
+    UNION ALL
+    SELECT conv_id || ':' || turn_idx::VARCHAR, 'mentions', cluster_id,
+           conv_id, turn_idx, start, "end" FROM jj
+    UNION ALL
+    SELECT lower(surface), 'linked_to', ent_id,
+           conv_id, turn_idx, start, "end" FROM jj
+    UNION ALL
+    SELECT ent_id, 'same_as', cluster_id,
+           conv_id, turn_idx, start, "end" FROM jj WHERE ent_id <> cluster_id
+)
+SELECT DISTINCT subj, pred, obj, conv_id, turn_idx::INT AS turn_idx,
+       start::INT AS span_start, "end"::INT AS span_end
+FROM tri
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "kg_triples_gazetteer": _kg_gazetteer_sql(),
     "minhash_near_dups_md5": _minhash_md5_sql(),
     "simhash_buckets_md5": _simhash_md5_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),

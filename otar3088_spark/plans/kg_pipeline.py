@@ -27,6 +27,35 @@ from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions
 from otar3088_spark.operators.triples import causes_triples, graph_tables, mention_triples
 
 
+def _span_stage_fingerprint(
+    dictionary: DataFrame, use_model: bool, scorer, lemma_overrides=None
+) -> str:
+    """Hex fingerprint of everything the span stage's output depends on
+    besides the transcripts: the model toggle, the scorer identity, and an
+    order-insensitive content hash of the dictionary (bit_xor of per-row
+    xxhash64 over the JSON-serialized row — one aggregate over the broadcast
+    dim, negligible next to the pipeline)."""
+    import hashlib
+
+    row = dictionary.select(
+        F.bit_xor(F.xxhash64(F.to_json(F.struct(*dictionary.columns)))).alias("h")
+    ).first()
+    scorer_id = (
+        "none"
+        if scorer is None
+        else f"{getattr(scorer, '__module__', type(scorer).__module__)}."
+        f"{getattr(scorer, '__qualname__', type(scorer).__qualname__)}"
+    )
+    lemma_fp = hashlib.sha1(
+        repr(sorted((lemma_overrides or {}).items())).encode()
+    ).hexdigest()[:8]
+    key = (
+        f"model={bool(use_model or scorer is not None)};scorer={scorer_id};"
+        f"dict={row['h']};lemma={lemma_fp}"
+    )
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
+
+
 @dataclass
 class KGResult:
     sentences: DataFrame
@@ -47,6 +76,7 @@ def build_kg(
     staging_dir: str | None = None,
     use_model: bool = False,
     model_scorer=None,
+    lemma_overrides: dict[str, str] | None = None,
 ) -> KGResult:
     """Run the full pipeline; returns every intermediate as a DataFrame.
 
@@ -62,10 +92,17 @@ def build_kg(
     two-column scan — and doubles as the north-rule per-stage checkpoint
     (on a cluster this is the Iceberg table boundary).
     """
+    # F8 lemmatization: the public irregular-plural table is the DEFAULT
+    # override map (reference lemma-dict linking generalizes beyond the
+    # rule-based destem, labelstudio_e2e.py:181-187). Pass {} to disable.
+    if lemma_overrides is None:
+        from otar3088_spark.functions.text import IRREGULAR_PLURALS
+
+        lemma_overrides = IRREGULAR_PLURALS
     normalized = normalize_turns(transcripts, salt_partitions=salt_partitions)
     sentences = sentencize(normalized)
     dict_prepared = prepare_dictionary(dictionary)
-    spans = tag_mentions(sentences, dict_prepared)
+    spans = tag_mentions(sentences, dict_prepared, lemma_overrides=lemma_overrides)
     if use_model or model_scorer is not None:
         # North-star transformer branch: batched model inference
         # (mapInPandas, per-executor singleton — a real HF scorer plugs in
@@ -88,12 +125,23 @@ def build_kg(
         # manifest with per-partition lineage rows (north-rule P7). A re-run
         # pointed at the same staging_dir resumes from the committed span
         # snapshot and recomputes only the downstream tail.
+        #
+        # The stage name carries a CONFIG FINGERPRINT (use_model, scorer
+        # identity, content hash of the dictionary snapshot): re-running
+        # against the same staging_dir with a different configuration gets a
+        # different stage name and recomputes, instead of silently serving a
+        # stale span snapshot built under the old config. The dictionary
+        # hash is one tiny job (the dictionary is the broadcast dim).
         from otar3088_spark.io.checkpoint import SnapshotStore
 
         store = SnapshotStore(staging_dir)
         _spans_df = spans
+        stage = (
+            "spans-"
+            + _span_stage_fingerprint(dictionary, use_model, model_scorer, lemma_overrides)
+        )
         spans = store.get_or_compute(
-            _spans_df.sparkSession, "spans", lambda: _spans_df
+            _spans_df.sparkSession, stage, lambda: _spans_df
         )
     elif persist_spans:
         spans = spans.persist()

@@ -12,8 +12,14 @@ docstring — this file is the line-by-line coverage evidence.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# committed parquet corpus shared by the kg_triples_gazetteer query and its
+# DuckDB oracle (generated once by tools/make_kg_fixture.py)
+KG_FIXTURE_DIR = Path(__file__).resolve().parents[1] / "fixtures" / "kg"
 
 # --------------------------------------------------------------------------
 # helpers
@@ -631,6 +637,22 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_kg(transcripts, dictionary, persist_spans=True, use_model=True).triples
 
 
+def q_kg_triples_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracle-checked twin of the flagship: the gazetteer KG path
+    (normalize -> sentencize -> tag -> resolve -> cluster -> triples) over
+    the COMMITTED fixture corpus (fixtures/kg/*.parquet — includes
+    irregular-plural turns that link only through the default
+    IRREGULAR_PLURALS lemma table). The DuckDB oracle replays the identical
+    pipeline as one CTE chain over the same parquet files, so the flagship's
+    every deterministic stage is hash-checked end to end (the merged model
+    path keeps its pytest golden-parity coverage on top)."""
+    from otar3088_spark.plans.kg_pipeline import build_kg
+
+    transcripts = spark.read.parquet(str(KG_FIXTURE_DIR / "transcripts.parquet"))
+    dictionary = spark.read.parquet(str(KG_FIXTURE_DIR / "dictionary.parquet"))
+    return build_kg(transcripts, dictionary, persist_spans=True).triples
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -667,4 +689,5 @@ QUERIES = {
     "iob_roundtrip": q_iob_roundtrip,
     "ann_lsh_topk": q_ann_lsh_topk,
     "kg_triples": q_kg_triples,
+    "kg_triples_gazetteer": q_kg_triples_gazetteer,
 }

@@ -204,16 +204,83 @@ def test_build_kg_staging_resumes_with_lineage(spark, transcripts_df, dictionary
     resumes from the committed span snapshot (identical triples)."""
     import json
 
+    import os
+
     staging = str(tmp_path / "stage")
     r1 = build_kg(transcripts_df, dictionary_df, staging_dir=staging)
     t1 = {tuple(r) for r in r1.triples.select("subj", "pred", "obj").distinct().collect()}
-    man = json.load(open(f"{staging}/spans/_MANIFEST.json"))
-    assert man["stage"] == "spans" and man["total_rows"] > 100
+    stages = [d for d in os.listdir(staging) if d.startswith("spans-")]
+    assert len(stages) == 1, "one config-fingerprinted span stage expected"
+    man = json.load(open(f"{staging}/{stages[0]}/_MANIFEST.json"))
+    assert man["stage"] == stages[0] and man["total_rows"] > 100
     assert sum(p["rows"] for p in man["partition_lineage"]) == man["total_rows"]
 
     r2 = build_kg(transcripts_df, dictionary_df, staging_dir=staging)  # resume
     t2 = {tuple(r) for r in r2.triples.select("subj", "pred", "obj").distinct().collect()}
     assert t1 == t2
+
+    # a DIFFERENT config (model branch on) must not serve the stale snapshot:
+    # it gets its own fingerprinted stage instead of resuming from the old one
+    build_kg(transcripts_df, dictionary_df, staging_dir=staging, use_model=True).triples.count()
+    stages2 = {d for d in os.listdir(staging) if d.startswith("spans-")}
+    assert len(stages2) == 2 and stages[0] in stages2
+
+
+def test_irregular_plural_corpus_parity(spark, dictionary_df, dictionary_pd):
+    """F8 depth: the default IRREGULAR_PLURALS table must link irregular
+    plural mentions ('bacteria' -> dictionary 'bacterium', last-token
+    'ganglia' -> 'ganglion') — at exact triple parity with the pandas oracle
+    running the same override map. Rule-based destem alone cannot match any
+    of these ('bacteria' destems to 'bacteri')."""
+    from otar3088_spark.functions.text import IRREGULAR_PLURALS
+
+    extra = pd.DataFrame(
+        [
+            ("ENT_0101", "bacterium", "CellType", "C101"),
+            ("ENT_0102", "dorsal ganglion", "Anatomy", "C102"),
+            ("ENT_0103", "metastasis", "AdverseEvent", "C103"),
+        ],
+        columns=["ent_id", "term", "label", "canonical_id"],
+    )
+    dict_pd = pd.concat([dictionary_pd, extra], ignore_index=True)
+    dict_df = spark.createDataFrame(dict_pd)
+    corpus_pd = pd.DataFrame(
+        [
+            ("irr_0001", 0, "user",
+             "the bacteria were cultured and dorsal ganglia were imaged.",
+             None, pd.Timestamp("2024-03-01")),
+            ("irr_0001", 1, "assistant",
+             "we observed metastases in the liver and feet were swollen.",
+             None, pd.Timestamp("2024-03-01 00:01:00")),
+            ("irr_0002", 0, "user",
+             "Bacteria's growth slowed. paracetamol was given for headaches.",
+             None, pd.Timestamp("2024-03-02")),
+        ],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    corpus_pd["turn_idx"] = corpus_pd["turn_idx"].astype("int32")
+    corpus_df = spark.createDataFrame(corpus_pd)
+
+    res = build_kg(corpus_df, dict_df)  # default lemma_overrides = table
+    pred = set(map(tuple, res.triples.select("subj", "pred", "obj").distinct().collect()))
+    gold_df = oracle.golden_triples(
+        corpus_pd, dict_pd, lemma_overrides=IRREGULAR_PLURALS
+    )
+    gold = set(map(tuple, gold_df.itertuples(index=False, name=None)))
+    p, r = oracle.precision_recall(pred, gold)
+    assert p == 1.0 and r == 1.0, (
+        f"P={p:.4f} R={r:.4f}; pred-only={sorted(pred - gold)[:5]}, "
+        f"gold-only={sorted(gold - pred)[:5]}"
+    )
+    # the irregular links actually fired (destem alone finds none of these)
+    assert ("ENT_0101", "is_a", "CellType") in pred
+    assert ("ENT_0102", "is_a", "Anatomy") in pred
+    assert ("ENT_0103", "is_a", "AdverseEvent") in pred
+    # and with overrides disabled ({}) they disappear
+    base = build_kg(corpus_df, dict_df, lemma_overrides={})
+    base_t = set(map(tuple, base.triples.select("subj", "pred", "obj").distinct().collect()))
+    assert ("ENT_0101", "is_a", "CellType") not in base_t
+    assert ("ENT_0102", "is_a", "Anatomy") not in base_t
 
 
 def test_fuzz_corpus_full_parity(spark, dictionary_df, dictionary_pd):
