@@ -271,9 +271,23 @@ def _lemma_case_sql(col: str) -> str:
     return f"COALESCE(CASE {col} {whens} END, {destem})"
 
 
-def _kg_gazetteer_sql(max_n: int = 4) -> str:
-    """Oracle for q_kg_triples_gazetteer. ``max_n`` must cover the longest
-    dictionary term in the fixture (4: 'bone marrow stromal cell')."""
+def _akey_sql(expr: str) -> str:
+    """canonicalize.alias_key_expr in SQL: lowercase, split on whitespace,
+    drop generic type words, concatenate, strip non-alphanumerics."""
+    return (
+        "regexp_replace(array_to_string(list_filter("
+        f"string_split_regex(lower(trim({expr})), '\\s+'), "
+        "t -> t NOT IN ('cell','cells','line','lines','tissue','tissues')), "
+        "''), '[^a-z0-9]', '', 'g')"
+    )
+
+
+def _kg_gazetteer_sql(max_n: int = 4, merged: bool = False) -> str:
+    """Oracle for q_kg_triples_gazetteer (``merged=False``) and for the
+    flagship q_kg_triples merged gazetteer+model path (``merged=True`` adds
+    the stand-in model scoring + exploded-key entity linking + dictionary-
+    precedence merge CTEs). ``max_n`` must cover the longest dictionary term
+    in the fixture (4: 'bone marrow stromal cell')."""
     tdir = str(KG_FIXTURE_DIR)
     abbrevs = (
         r"e\.g\.|i\.e\.|cf\.|vs\.|ca\.|approx\.|Fig\.|fig\.|Figs\.|Dr\.|No\.|Eq\.|Ref\."
@@ -313,6 +327,63 @@ def _kg_gazetteer_sql(max_n: int = 4) -> str:
     FROM dictn d JOIN ktok k1 ON d.n = {n} AND k1.key = d.tt[1]
 {chr(10).join(joins)}""")
     all_cands = "\n    UNION ALL".join(cands)
+
+    # merged path: replay the deterministic stand-in scorer (token length
+    # >= 4, md5 first hex digit '0' — same md5 family as the model_mentions
+    # oracle), the exploded-(match_key, rank) entity linking of
+    # link_model_mentions (rank 0 exact/destemmed key, rank 1 alias key;
+    # min-(rank, ent_id, term) per (span, label)), and the dictionary-
+    # precedence span merge of merge_spans_with_model.
+    src = "merged" if merged else "spans"
+    model_ctes = f""",
+mhits AS MATERIALIZED (
+    SELECT conv_id, turn_idx, sent_idx,
+           (rawstart + lead)::INT AS start,
+           (rawstart + lead + corelen)::INT AS "end",
+           substr(tok, lead + 1, corelen) AS surface, key,
+           CASE WHEN key LIKE '%''s' AND length(key) > 2 THEN substr(key, 1, length(key) - 2)
+                WHEN key LIKE '%s' AND length(key) > 3 THEN substr(key, 1, length(key) - 1)
+           END AS key_ds,
+           {_akey_sql("regexp_replace(tok, '[^A-Za-z0-9]+', ' ', 'g')")} AS akey
+    FROM ktok
+    WHERE rawlen >= 4 AND substr(md5(lower(tok)), 1, 1) = '0'
+),
+mkeys AS MATERIALIZED (
+    SELECT DISTINCT conv_id, turn_idx, sent_idx, start, "end", surface, key AS mkey, 0 AS rnk FROM mhits
+    UNION
+    SELECT DISTINCT conv_id, turn_idx, sent_idx, start, "end", surface, key_ds, 0 FROM mhits WHERE key_ds IS NOT NULL
+    UNION
+    SELECT DISTINCT conv_id, turn_idx, sent_idx, start, "end", surface, akey, 1 FROM mhits WHERE length(akey) > 0
+),
+dkeys AS MATERIALIZED (
+    SELECT array_to_string(tt, ' ') AS dkey, 0 AS rnk, term, label, ent_id FROM dictn
+    UNION
+    SELECT {_akey_sql('term')}, 1, term, label, ent_id FROM dictn
+    WHERE length({_akey_sql('term')}) > 0
+),
+linkedm AS MATERIALIZED (
+    SELECT conv_id, turn_idx, sent_idx, start, "end", term, label, ent_id, surface
+    FROM (
+        SELECT m.conv_id, m.turn_idx, m.sent_idx, m.start, m."end", m.surface,
+               d.term, d.label, d.ent_id,
+               row_number() OVER (
+                   PARTITION BY m.conv_id, m.turn_idx, m.sent_idx, m.start, m."end", d.label
+                   ORDER BY m.rnk ASC, d.ent_id ASC, d.term ASC) AS rn
+        FROM mkeys m JOIN dkeys d ON m.mkey = d.dkey AND m.rnk = d.rnk
+    ) WHERE rn = 1
+),
+mergedsrc AS (
+    SELECT conv_id, turn_idx, sent_idx, start, "end", term, label, ent_id, surface, 0 AS msrc FROM spans
+    UNION ALL
+    SELECT conv_id, turn_idx, sent_idx, start, "end", term, label, ent_id, surface, 1 FROM linkedm
+),
+merged AS MATERIALIZED (
+    SELECT DISTINCT conv_id, turn_idx, sent_idx, start, "end", term, label, ent_id, surface
+    FROM (
+        SELECT *, MIN(msrc) OVER (PARTITION BY conv_id, turn_idx, sent_idx, start, "end") AS ms
+        FROM mergedsrc
+    ) WHERE msrc = ms
+)""" if merged else ""
 
     return f"""
 WITH RECURSIVE raw AS (
@@ -370,7 +441,7 @@ stok AS (
     FROM tsent
 ),
 ktok AS MATERIALIZED (
-    SELECT conv_id, turn_idx, sent_idx, spos, rawstart,
+    SELECT conv_id, turn_idx, sent_idx, spos, rawstart, tok, length(tok) AS rawlen,
            length(tok) - length(regexp_replace(tok, '^[(\\["'']+', '')) AS lead,
            length(key) AS corelen, key, {lemma_k} AS key_lm
     FROM (
@@ -411,9 +482,9 @@ spans AS MATERIALIZED (
           AND b.start <= p.start AND p."end" <= b."end"
           AND (b."end" - b.start) > (p."end" - p.start)
     )
-),
+){model_ctes},
 counts AS (
-    SELECT lower(term) AS term_key, label, count(*) AS cnt FROM spans GROUP BY 1, 2
+    SELECT lower(term) AS term_key, label, count(*) AS cnt FROM {src} GROUP BY 1, 2
 ),
 winners AS (
     SELECT term_key, label AS rlabel FROM (
@@ -429,7 +500,7 @@ winners AS (
     ) WHERE rn = 1
 ),
 resolved AS (
-    SELECT s.* FROM spans s
+    SELECT s.* FROM {src} s
     JOIN winners w ON lower(s.term) = w.term_key AND s.label = w.rlabel
 ),
 akf AS (
@@ -458,7 +529,7 @@ clusters AS (
     FROM (SELECT DISTINCT ent_id FROM dictn) d
     LEFT JOIN comps c ON c.node = d.ent_id
 ),
-jj AS (SELECT r.*, c.cluster_id FROM resolved r JOIN clusters c USING (ent_id)),
+jj AS MATERIALIZED (SELECT r.*, c.cluster_id FROM resolved r JOIN clusters c USING (ent_id)),
 tri AS (
     SELECT ent_id AS subj, 'is_a' AS pred, label AS obj,
            conv_id, turn_idx, start, "end" FROM jj
@@ -480,6 +551,7 @@ FROM tri
 
 ORACLE_SQL: dict[str, str] = {
     "kg_triples_gazetteer": _kg_gazetteer_sql(),
+    "kg_triples": _kg_gazetteer_sql(merged=True),
     "minhash_near_dups_md5": _minhash_md5_sql(),
     "simhash_buckets_md5": _simhash_md5_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),

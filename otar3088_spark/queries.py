@@ -623,15 +623,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship KG pipeline on the deterministic synthetic transcript corpus
-    (sf_dir-independent input; pytest golden oracle covers correctness).
-    Runs the MERGED path: gazetteer + transformer-scored spans (stand-in
-    scorer) entity-linked and unioned with dictionary precedence."""
+    """Flagship KG pipeline — the MERGED path: gazetteer + transformer-scored
+    spans (deterministic md5 stand-in scorer) entity-linked through the
+    exploded-key broadcast equi-join and unioned with dictionary precedence.
+    Runs over the committed fixture corpus (fixtures/kg/) so the ENTIRE
+    merged pipeline — model scoring included — is DuckDB-oracle-checked
+    (oracles_sql kg_triples replays the md5 stand-in + linker + merge in
+    SQL); the pytest golden differential covers it a second way."""
     from otar3088_spark.plans.kg_pipeline import build_kg
-    from otar3088_spark.synth import entity_dictionary_pandas, transcripts_pandas
 
-    transcripts = spark.createDataFrame(transcripts_pandas(n_convs=40))
-    dictionary = spark.createDataFrame(entity_dictionary_pandas())
+    transcripts = spark.read.parquet(str(KG_FIXTURE_DIR / "transcripts.parquet"))
+    dictionary = spark.read.parquet(str(KG_FIXTURE_DIR / "dictionary.parquet"))
     # persist_spans=True: spans feed both label resolution passes — without
     # the persist the model+tagging subtree executes twice (r2 judge finding)
     return build_kg(transcripts, dictionary, persist_spans=True, use_model=True).triples

@@ -338,6 +338,112 @@ def test_subword_alignment_and_merge(spark):
     )
 
 
+def _wordpiece(word: str, vocab: set[str]) -> list[str]:
+    """The public WordPiece algorithm: greedy longest-match-first over the
+    vocab, '##' prefix on continuations, whole-word [UNK] when uncovered."""
+    pieces, i = [], 0
+    while i < len(word):
+        j, piece = len(word), None
+        while j > i:
+            cand = ("##" if i > 0 else "") + word[i:j]
+            if cand in vocab:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return ["[UNK]"]
+        pieces.append(piece)
+        i = j
+    return pieces
+
+
+def test_hf_tokenizer_contract_fixture(spark):
+    """Pins F11/F13/F19 against a recorded HF fast-tokenizer contract
+    (tests/fixtures/hf_tokenizer_contract.json): tokens are re-derived from
+    the fixture's vocab with the WordPiece algorithm (so the recording is
+    provably the tokenizer-contract output, not hand-waving), word_ids/
+    offsets follow `tokenizer(words, is_split_into_words=True)` +
+    `word_ids()` exactly (None specials, repeated ids on continuations,
+    per-word char offsets), and align_subword_labels_expr +
+    iob_to_spans(merge_subwords=True) over those recordings reproduce the
+    hand-computed tags and spans. Zero new runtime deps — this is the
+    swap-in de-risk for a real HF tokenizer (reference Ner_Pipeline
+    tokenization_utils.py:6-47)."""
+    import json
+    from pathlib import Path
+
+    from otar3088_spark.operators.inference import align_subword_labels_expr
+    from otar3088_spark.operators.spans import iob_to_spans
+
+    fx = json.loads(
+        (Path(__file__).parent / "fixtures" / "hf_tokenizer_contract.json").read_text()
+    )
+    vocab = set(fx["vocab"])
+    for s in fx["sentences"]:
+        # (1) the recorded tokens ARE the WordPiece output for the vocab
+        derived = ["[CLS]"]
+        for w in s["words"]:
+            derived += _wordpiece(w, vocab)
+        derived.append("[SEP]")
+        assert derived == s["tokens"], s["words"]
+        # (2) word_ids contract: None on specials; each word's pieces carry
+        # its index; monotone non-decreasing
+        wids = s["word_ids"]
+        assert wids[0] is None and wids[-1] is None
+        body = [w for w in wids if w is not None]
+        assert body == sorted(body) and set(body) == set(range(len(s["words"])))
+        # (3) offsets contract: (0,0) specials; first piece starts at 0;
+        # continuations resume where the previous piece ended; width == piece
+        # length (sans ##) except [UNK], which covers the whole word
+        for k, (tok, wid, (o0, o1)) in enumerate(
+            zip(s["tokens"], wids, s["offsets"])
+        ):
+            if wid is None:
+                assert (o0, o1) == (0, 0)
+            elif tok == "[UNK]":
+                assert (o0, o1) == (0, len(s["words"][wid]))
+            else:
+                assert o1 - o0 == len(tok.removeprefix("##"))
+                prev_wid = wids[k - 1]
+                assert o0 == (s["offsets"][k - 1][1] if prev_wid == wid else 0)
+
+    # (4) Spark side: alignment + BIO decode over the recorded contract
+    rows = [
+        ("c1", 0, i, s["tokens"], s["word_ids"], s["word_tags"])
+        for i, s in enumerate(fx["sentences"])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, sent_idx int, subs array<string>, "
+        "wids array<int>, tags array<string>",
+    )
+    out = df.select(
+        "conv_id", "turn_idx", "sent_idx", "subs", "wids",
+        align_subword_labels_expr(F.col("wids"), F.col("tags")).alias("subtags"),
+    )
+    got = {r["sent_idx"]: r["subtags"] for r in out.collect()}
+    for i, s in enumerate(fx["sentences"]):
+        assert got[i] == s["expected_subtags"], s["words"]
+
+    z = F.filter(
+        F.arrays_zip(F.col("subs"), F.col("subtags")),
+        lambda p: p["subtags"] != "-100",
+    )
+    iob = out.select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.transform(z, lambda p: p["subs"]).alias("tokens"),
+        F.transform(z, lambda p: p["subtags"]).alias("tags"),
+    )
+    spans = iob_to_spans(iob, merge_subwords=True).collect()
+    got_spans: dict[int, set] = {}
+    for r in spans:
+        got_spans.setdefault(r["sent_idx"], set()).add(
+            (r["start_pos"], r["end_pos"], r["text"], r["label"])
+        )
+    for i, s in enumerate(fx["sentences"]):
+        assert got_spans.get(i, set()) == {tuple(x) for x in s["expected_spans"]}, s["words"]
+
+
 # ------------------------------------------------------- nervaluate 4-way
 
 

@@ -89,6 +89,24 @@ def test_batch_write_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
     assert {r["batch_id"] for r in spark.read.parquet(out).select("batch_id").distinct().collect()} == {7, 8}
 
+    # crash-mid-write replay: batch 9 first lands PARTIAL data (the crash
+    # happened between sink write and checkpoint commit), then the stream
+    # restarts and replays batch 9 with the full content. The dynamic
+    # partition overwrite must fully replace the partial partition — no
+    # union of partial+full, no duplicates, other batches untouched.
+    partial = t.limit(1)
+    write_triples_batch(partial, 9, out)
+    assert spark.read.parquet(out).filter(F.col("batch_id") == 9).count() == 1
+    write_triples_batch(t, 9, out)  # replay with the complete batch
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("batch_id") == 9).count() == 2
+    assert after.count() == 6  # 2+2+2, the partial row is gone
+    got9 = {
+        tuple(r) for r in after.filter(F.col("batch_id") == 9)
+        .select("subj", "pred", "obj").collect()
+    }
+    assert got9 == {("a", "is_a", "X"), ("b", "is_a", "Y")}
+
 
 def test_stateful_conversation_progress(spark, transcripts_pd, tmp_path):
     """applyInPandasWithState: per-conversation counters accumulate across
