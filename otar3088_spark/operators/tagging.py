@@ -101,20 +101,90 @@ def tag_mentions(
     # first tokens (anchor IN-set) at plan time is legitimate driver work —
     # but only up to a point: a multi-million-term gazetteer would bloat the
     # plan with a giant IN-list literal. Above ``max_prefilter_terms``
-    # distinct first tokens the pre-filter is skipped automatically (the
+    # distinct first/last tokens the pre-filter is skipped automatically (the
     # broadcast hash join below prunes non-anchors just as correctly, one
     # narrow stage later). The count is a cheap agg over the broadcast dim.
     # ONE bounded job decides and fetches: limit(max+1) caps driver memory,
     # and an over-limit result means "skip the prefilter".
-    firsts: list[str] | None = sorted(
-        r["first_tok"]
-        for r in dictionary.select("first_tok")
+    fl_rows = (
+        dictionary.select(
+            "first_tok", F.element_at("term_tokens", F.col("n")).alias("last_tok")
+        )
         .distinct()
         .limit(max_prefilter_terms + 1)
         .collect()
     )
-    if len(firsts) > max_prefilter_terms:
-        firsts = None
+    if len(fl_rows) > max_prefilter_terms:
+        firsts: list[str] | None = None
+        dict_toks: set[str] | None = None
+    else:
+        firsts = sorted({r["first_tok"] for r in fl_rows})
+        dict_toks = {r["first_tok"] for r in fl_rows} | {r["last_tok"] for r in fl_rows}
+
+    # --- dictionary-side irregular-plural expansion --------------------------
+    # The F8 override map is applied to the DIM side, never per corpus
+    # token: for every dictionary term whose LAST token (== only token when
+    # n==1) is the lemma of an irregular plural, a variant row with the
+    # plural substituted is unioned in, marked ``_exp = 1``. The per-token
+    # hot path keeps the EXACT destem-only expression shape — measured:
+    # even a one-entry override CASE wrapped around destem in the fused
+    # normalize→sentencize→tag stage cost 15-40% of the whole pipeline at 8
+    # cores (conditional branches are excluded from codegen subexpression
+    # elimination, so every extra WHEN level re-evaluates the regex-derived
+    # key), while the dim-side union is O(|dict|) plan-time work.
+    #
+    # Exact full-map semantics are preserved:
+    # * override hit  (lemma(k) = v, v in dict)  -> expanded row, EXACT tier;
+    # * destem-tier matching is suppressed against expanded rows (``_exp``)
+    #   and for override KEYS whose destem collides with a dictionary token
+    #   (``colliding`` — an override key must never fall through to destem,
+    #   the override short-circuits it in lemma_expr semantics);
+    # * everything else destems as before.
+    # Fallback: when the dictionary exceeds the prefilter cap (no token set
+    # on the driver), the original lemma_expr expression path is used.
+    spark = dictionary.sparkSession
+    ov = dict(lemma_overrides or {})
+    use_expr_lemma = bool(ov) and dict_toks is None
+
+    def _py_destem(k: str) -> str | None:
+        if k.endswith("'s") and len(k) > 2:
+            return k[:-2]
+        if k.endswith("s") and len(k) > 3:
+            return k[:-1]
+        return None
+
+    if ov and dict_toks is not None:
+        exp_pairs = [(p, s) for p, s in sorted(ov.items()) if s in dict_toks]
+        colliding = sorted(
+            k for k in ov if (ds := _py_destem(k)) is not None and ds in dict_toks
+        )
+    else:
+        exp_pairs, colliding = [], []
+
+    d0 = dictionary.withColumn("_exp", F.lit(0))
+    if exp_pairs:
+        inv = F.broadcast(
+            spark.createDataFrame(exp_pairs, "plural string, singular string")
+        )
+        exp_rows = (
+            dictionary.join(
+                inv, F.element_at("term_tokens", F.col("n")) == F.col("singular")
+            )
+            .withColumn(
+                "term_tokens",
+                F.concat(
+                    F.slice("term_tokens", 1, F.col("n") - 1), F.array(F.col("plural"))
+                ),
+            )
+            .withColumn("first_tok", F.element_at("term_tokens", 1))
+            .drop("plural", "singular")
+            .withColumn("_exp", F.lit(1))
+        )
+        d0 = d0.unionByName(exp_rows.select(*d0.columns))
+        if firsts is not None:
+            # expanded single-token plurals become anchor first-tokens
+            one_tok = {r["first_tok"] for r in fl_rows if r["first_tok"] == r["last_tok"]}
+            firsts = sorted(set(firsts) | {p for (p, s) in exp_pairs if s in one_tok})
 
     # --- stage 1: anchor detection (allocation-lean) ------------------------
     # The hot path is ALLOCATION-BANDWIDTH bound, not CPU bound: building
@@ -130,9 +200,15 @@ def tag_mentions(
     )
     core = token_core_expr(F.col("tok"))
     key = F.lower(core)
-    keyed = toks_df.withColumn("key", key).withColumn(
-        "key_ds", lemma_expr(F.col("key"), lemma_overrides)
-    )
+    if use_expr_lemma:
+        key_ds_expr = lemma_expr(F.col("key"), ov)
+    elif colliding:
+        key_ds_expr = F.when(
+            ~F.col("key").isin(colliding), destem_expr(F.col("key"))
+        )
+    else:
+        key_ds_expr = destem_expr(F.col("key"))
+    keyed = toks_df.withColumn("key", key).withColumn("key_ds", key_ds_expr)
     if firsts is not None:
         keyed = keyed.filter(
             F.col("key").isin(firsts)
@@ -160,9 +236,12 @@ def tag_mentions(
         .select(*key3, "pos0", F.col("c")["k"].alias("anchor_key"), F.col("c")["v"].alias("variant"))
     )
 
-    d = F.broadcast(dictionary)
+    d = F.broadcast(d0)
+    # the destem ('ds') anchor tier is legal only for single-token terms and
+    # only against NON-expanded rows (an expanded plural row reached via a
+    # destemmed anchor would be double normalization)
     cand = anchors.join(d, anchors["anchor_key"] == d["first_tok"], "inner").filter(
-        (F.col("n") == 1) | (F.col("variant") == "exact")
+        (F.col("variant") == "exact") | ((F.col("n") == 1) & (F.col("_exp") == 0))
     )
 
     # --- stage 2: window validation on candidate rows only ------------------
@@ -185,9 +264,17 @@ def tag_mentions(
     )
     last_dict = F.element_at("term_tokens", n)
     last_key = F.try_element_at(wkeys, n)
-    last_ok = (last_key == last_dict) | (
-        F.coalesce(lemma_expr(last_key, lemma_overrides), F.lit("")) == last_dict
-    )
+    if use_expr_lemma:
+        ds_last_ok = F.coalesce(lemma_expr(last_key, ov), F.lit("")) == last_dict
+    else:
+        # destem tier: non-expanded rows only, and never for override keys
+        # (the override short-circuits destem in lemma semantics)
+        ds_last_ok = (F.col("_exp") == 0) & (
+            F.coalesce(destem_expr(last_key), F.lit("")) == last_dict
+        )
+        if colliding:
+            ds_last_ok = ds_last_ok & ~last_key.isin(colliding)
+    last_ok = (last_key == last_dict) | ds_last_ok
     match = F.when(n == 1, F.lit(True)).otherwise(in_bounds & mid_ok & last_ok)
     j = (
         withs.withColumn("_w", window)
