@@ -52,20 +52,30 @@ _MODEL_SINGLETON: dict[str, object] = {}
 _TOKEN_MEMO: dict[str, tuple[str, float] | None] = {}
 
 
-def _scorer_cache_key(prefix: str, fn: object) -> str:
-    """Stable per-executor cache key for a scorer/classifier callable.
+# driver-side strong-ref registry: pins each keyed scorer object alive so
+# CPython can never recycle its id() for a different callable while the key
+# is in use (an id collision would silently serve the wrong model)
+_KEY_REGISTRY: dict[str, object] = {}
 
-    Keyed by module.qualname so repeated calls with the same (or an
-    equivalent re-imported) scorer share ONE loaded model per executor
-    instead of minting a fresh uuid entry per call — with a real HF pipeline
-    a per-call key would re-'load' the model every call and leak a full
-    model per call into the never-evicted singleton dict. Callers with two
-    distinct same-qualname scorers (e.g. differently-configured closures)
-    must pass an explicit ``batch_key``.
+
+def _scorer_cache_key(prefix: str, fn: object) -> str:
+    """Per-executor cache key for a scorer/classifier callable.
+
+    Keyed by module.qualname PLUS the driver-side object identity: repeated
+    calls with the SAME scorer object share one loaded model per executor
+    (no per-call uuid, no per-call model 'load'/leak), while two distinct
+    same-qualname callables — differently-configured closures,
+    ``functools.partial`` wrappers (which all share qualname 'partial') —
+    can never collide and silently serve each other's model. The registry
+    keeps keyed objects alive so an id() is never recycled under a live
+    key. Callers that rebuild an equivalent scorer object per call should
+    pass an explicit ``batch_key`` to share the loaded model across calls.
     """
     mod = getattr(fn, "__module__", None) or type(fn).__module__
     qn = getattr(fn, "__qualname__", None) or type(fn).__qualname__
-    return f"{prefix}-{mod}.{qn}"
+    key = f"{prefix}-{mod}.{qn}@{id(fn):x}"
+    _KEY_REGISTRY[key] = fn
+    return key
 
 
 def _stand_in_scorer(sentences: pd.Series) -> list[list[tuple[int, int, str, float]]]:

@@ -207,7 +207,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     dim: int = 64,
     index: DataFrame | None = None,
-    persist_index: bool = False,
+    persist_index: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup-family scale path.
 
@@ -220,10 +220,11 @@ def embedding_near_dups(
 
     The self-join consumes the index plan TWICE (sides a and b): without a
     materialized ``index``, the corpus scan + Arrow signature pass would
-    execute twice per run. ``persist_index=True`` caches the inline index
-    before deriving the two sides (same trade-off as ``ann_lsh_topk``: the
-    cache is never unpersisted from inside the lazy plan — at scale, pass a
-    written ``build_lsh_index`` table instead).
+    execute twice per run, so ``persist_index`` defaults to True here
+    (unlike ``ann_lsh_topk``, whose inline index is consumed once). The
+    cache is never unpersisted from inside the lazy plan — callers running
+    many dedup sweeps should pass a written ``build_lsh_index`` table and
+    set ``persist_index=False``.
     """
     c = index if index is not None else build_lsh_index(
         corpus, bits, num_tables, seed, id_col, vec_col, dim

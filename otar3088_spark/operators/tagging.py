@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from otar3088_spark.functions.text import (
     destem_expr,
-    lemma_expr,
     offsets_expr,
     token_core_expr,
     token_lead_expr,
@@ -106,20 +105,15 @@ def tag_mentions(
     # narrow stage later). The count is a cheap agg over the broadcast dim.
     # ONE bounded job decides and fetches: limit(max+1) caps driver memory,
     # and an over-limit result means "skip the prefilter".
-    fl_rows = (
-        dictionary.select(
-            "first_tok", F.element_at("term_tokens", F.col("n")).alias("last_tok")
-        )
+    firsts: list[str] | None = sorted(
+        r["first_tok"]
+        for r in dictionary.select("first_tok")
         .distinct()
         .limit(max_prefilter_terms + 1)
         .collect()
     )
-    if len(fl_rows) > max_prefilter_terms:
-        firsts: list[str] | None = None
-        dict_toks: set[str] | None = None
-    else:
-        firsts = sorted({r["first_tok"] for r in fl_rows})
-        dict_toks = {r["first_tok"] for r in fl_rows} | {r["last_tok"] for r in fl_rows}
+    if len(firsts) > max_prefilter_terms:
+        firsts = None
 
     # --- dictionary-side irregular-plural expansion --------------------------
     # The F8 override map is applied to the DIM side, never per corpus
@@ -140,11 +134,15 @@ def tag_mentions(
     #   (``colliding`` — an override key must never fall through to destem,
     #   the override short-circuits it in lemma_expr semantics);
     # * everything else destems as before.
-    # Fallback: when the dictionary exceeds the prefilter cap (no token set
-    # on the driver), the original lemma_expr expression path is used.
+    #
+    # The relevant dictionary tokens come from ONE bounded probe job that
+    # works at ANY dictionary size: probe the dim's first/last tokens
+    # against the (small, fixed) set of override values plus destems of
+    # override keys — the result is at most |override map| rows, never the
+    # full token set, so a multi-million-term gazetteer pays one tiny
+    # broadcast-dim scan, not a giant driver collect.
     spark = dictionary.sparkSession
     ov = dict(lemma_overrides or {})
-    use_expr_lemma = bool(ov) and dict_toks is None
 
     def _py_destem(k: str) -> str | None:
         if k.endswith("'s") and len(k) > 2:
@@ -153,10 +151,26 @@ def tag_mentions(
             return k[:-1]
         return None
 
-    if ov and dict_toks is not None:
-        exp_pairs = [(p, s) for p, s in sorted(ov.items()) if s in dict_toks]
+    if ov:
+        probe_vals = sorted(
+            set(ov.values()) | {d for k in ov if (d := _py_destem(k)) is not None}
+        )
+        last_tok = F.element_at("term_tokens", F.col("n"))
+        hit_rows = (
+            dictionary.select(
+                F.explode(F.array(F.col("first_tok"), last_tok)).alias("tk"),
+                (F.col("n") == 1).alias("single"),
+            )
+            .where(F.col("tk").isin(probe_vals))
+            .groupBy("tk")
+            .agg(F.max("single").alias("single"))
+            .collect()
+        )
+        dict_hits = {r["tk"] for r in hit_rows}
+        singles = {r["tk"] for r in hit_rows if r["single"]}
+        exp_pairs = [(p, s) for p, s in sorted(ov.items()) if s in dict_hits]
         colliding = sorted(
-            k for k in ov if (ds := _py_destem(k)) is not None and ds in dict_toks
+            k for k in ov if (ds := _py_destem(k)) is not None and ds in dict_hits
         )
     else:
         exp_pairs, colliding = [], []
@@ -182,9 +196,10 @@ def tag_mentions(
         )
         d0 = d0.unionByName(exp_rows.select(*d0.columns))
         if firsts is not None:
-            # expanded single-token plurals become anchor first-tokens
-            one_tok = {r["first_tok"] for r in fl_rows if r["first_tok"] == r["last_tok"]}
-            firsts = sorted(set(firsts) | {p for (p, s) in exp_pairs if s in one_tok})
+            # plurals expanded into single-token terms become anchor
+            # first-tokens (multi-token expansions only change the LAST
+            # token, so the anchor IN-set is unaffected by them)
+            firsts = sorted(set(firsts) | {p for (p, s) in exp_pairs if s in singles})
 
     # --- stage 1: anchor detection (allocation-lean) ------------------------
     # The hot path is ALLOCATION-BANDWIDTH bound, not CPU bound: building
@@ -200,9 +215,7 @@ def tag_mentions(
     )
     core = token_core_expr(F.col("tok"))
     key = F.lower(core)
-    if use_expr_lemma:
-        key_ds_expr = lemma_expr(F.col("key"), ov)
-    elif colliding:
+    if colliding:
         key_ds_expr = F.when(
             ~F.col("key").isin(colliding), destem_expr(F.col("key"))
         )
@@ -264,16 +277,13 @@ def tag_mentions(
     )
     last_dict = F.element_at("term_tokens", n)
     last_key = F.try_element_at(wkeys, n)
-    if use_expr_lemma:
-        ds_last_ok = F.coalesce(lemma_expr(last_key, ov), F.lit("")) == last_dict
-    else:
-        # destem tier: non-expanded rows only, and never for override keys
-        # (the override short-circuits destem in lemma semantics)
-        ds_last_ok = (F.col("_exp") == 0) & (
-            F.coalesce(destem_expr(last_key), F.lit("")) == last_dict
-        )
-        if colliding:
-            ds_last_ok = ds_last_ok & ~last_key.isin(colliding)
+    # destem tier: non-expanded rows only, and never for override keys
+    # (the override short-circuits destem in lemma semantics)
+    ds_last_ok = (F.col("_exp") == 0) & (
+        F.coalesce(destem_expr(last_key), F.lit("")) == last_dict
+    )
+    if colliding:
+        ds_last_ok = ds_last_ok & ~last_key.isin(colliding)
     last_ok = (last_key == last_dict) | ds_last_ok
     match = F.when(n == 1, F.lit(True)).otherwise(in_bounds & mid_ok & last_ok)
     j = (

@@ -15,6 +15,10 @@ import re
 
 import pandas as pd
 
+# pure DATA constants shared with the engine (no Spark logic): the label
+# priority order and the F8 irregular-plural table. The oracle's
+# implementation remains fully independent of the Spark side.
+from otar3088_spark.functions.lemma_data import IRREGULAR_PLURALS
 from otar3088_spark.synth import LABEL_PRIORITY
 
 GENERIC_WORDS = {"cell", "cells", "line", "lines", "tissue", "tissues"}
@@ -75,7 +79,9 @@ def destem(key: str) -> str | None:
 
 def lemma(key: str, overrides: dict[str, str] | None = None) -> str | None:
     """F8 mirror of functions/text.py lemma_expr: irregular override first,
-    then the rule-based destem."""
+    then the rule-based destem. NOTE: an override KEY never falls through to
+    destem — the override short-circuits it even when its value matches
+    nothing (the engine's dictionary-side expansion preserves exactly this)."""
     if overrides and key in overrides:
         return overrides[key]
     return destem(key)
@@ -223,6 +229,11 @@ def extract_spans(
     with_model: bool = False,
     lemma_overrides: dict[str, str] | None = None,
 ) -> pd.DataFrame:
+    # default mirrors build_kg: None -> the IRREGULAR_PLURALS table; pass {}
+    # to disable (keeping the defaults aligned means the exact-parity tests
+    # always compare identical configurations)
+    if lemma_overrides is None:
+        lemma_overrides = IRREGULAR_PLURALS
     d = prepare_dictionary(dict_df)
     dict_rows = list(
         d[["ent_id", "label", "term", "term_tokens", "n", "first_tok"]].itertuples(

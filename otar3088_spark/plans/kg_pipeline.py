@@ -40,12 +40,18 @@ def _span_stage_fingerprint(
     row = dictionary.select(
         F.bit_xor(F.xxhash64(F.to_json(F.struct(*dictionary.columns)))).alias("h")
     ).first()
-    scorer_id = (
-        "none"
-        if scorer is None
-        else f"{getattr(scorer, '__module__', type(scorer).__module__)}."
-        f"{getattr(scorer, '__qualname__', type(scorer).__qualname__)}"
-    )
+    # Custom scorers fingerprint by OBJECT identity (qualname + id), not
+    # qualname alone: two differently-configured same-qualname closures must
+    # never share a snapshot (stale-config reuse). Consequence: a custom-
+    # scorer stage never resumes across process restarts (id changes ->
+    # recompute, which is the safe direction); the default/stand-in paths
+    # (scorer None) keep stable names and full cross-run resume.
+    if scorer is None:
+        scorer_id = "none"
+    else:
+        from otar3088_spark.operators.inference import _scorer_cache_key
+
+        scorer_id = _scorer_cache_key("fp", scorer)
     lemma_fp = hashlib.sha1(
         repr(sorted((lemma_overrides or {}).items())).encode()
     ).hexdigest()[:8]
