@@ -197,3 +197,35 @@ def lemma_expr(key: Column, overrides: dict[str, str] | None = None) -> Column:
     for k, v in sorted(overrides.items()):
         chain = (F.when if chain is None else chain.when)(key == F.lit(k), F.lit(v))
     return chain.otherwise(ds)
+
+
+def norm_key_expr(key: Column, overrides: dict[str, str] | None = None) -> Column:
+    """F8 TOTAL lemma normalization of a lowercase match key (never NULL):
+
+    1. irregular override (``mice -> mouse``),
+    2. override VALUES are fixed points — a known lemma is never re-stemmed
+       (``metastasis`` must stay ``metastasis``, not destem to ``metastasi``),
+    3. rule-based plural/possessive destem,
+    4. identity.
+
+    Applied to BOTH sides of gazetteer matching — every dictionary token and
+    every corpus window token — so a window matches a term iff their
+    normalized token sequences are equal position-by-position. That is the
+    reference's whole-window lemma comparison (labelstudio_e2e.py:179-185
+    ``lemmatize_term`` lemmatizes each dictionary-term token; :218-226
+    compares ``window_lemmas == lemma_tokens``) restated over the engine's
+    rule-based lemmatizer.
+
+    The override CASE chain makes this expression unsuitable for fused
+    per-token hot paths (conditional branches are excluded from codegen
+    subexpression elimination — measured 15-40% on the tagging stage, see
+    tagging.py). tag_mentions therefore evaluates it only on the broadcast
+    dictionary dim and on candidate windows, never per corpus token."""
+    ds = F.coalesce(destem_expr(key), key)
+    if not overrides:
+        return ds
+    chain = None
+    for k, v in sorted(overrides.items()):
+        chain = (F.when if chain is None else chain.when)(key == F.lit(k), F.lit(v))
+    vals = sorted(set(overrides.values()))
+    return chain.when(key.isin(vals), key).otherwise(ds)

@@ -9,13 +9,16 @@ declarative join:
 
   1. tokenize each sentence by space on cleaned text; compute char offsets
      with an ``aggregate`` cumulative scan (per-row JVM, no shuffle);
-  2. explode tokens as anchor candidates ``(anchor_key, variant)`` where the
-     plural/possessive destem variant implements the boundary-regex suffix;
-  3. broadcast-join against the dictionary blocked on the term's FIRST token
-     (the 'token-blocked' key — blocks candidate pairs to ~|dict-first-token|
-     matches per token instead of |dict| regex scans per sentence);
-  4. validate the full n-token window with ``slice`` equality — still pure
-     Catalyst expressions;
+  2. explode tokens and derive ONE prenorm anchor key per token
+     (``coalesce(destem, key)`` — no conditionals, no struct allocation);
+  3. broadcast-join against the lemma-normalized dictionary blocked on the
+     term's FIRST normalized token (the 'token-blocked' key — blocks
+     candidate pairs to ~|dict-first-token| matches per token instead of
+     |dict| regex scans per sentence); irregular forms reach the join via
+     dim-side alias rows, never per-token conditionals;
+  4. validate the full n-token window with whole-window lemma equality
+     (``zip_with`` + ``forall`` over norm_key_expr) — still pure Catalyst
+     expressions, evaluated per candidate only;
   5. longest-match containment dedup via a per-sentence array filter (one
      groupBy, no recomputation of the upstream DAG).
 
@@ -32,6 +35,7 @@ from pyspark.sql import functions as F
 
 from otar3088_spark.functions.text import (
     destem_expr,
+    norm_key_expr,
     offsets_expr,
     token_core_expr,
     token_lead_expr,
@@ -94,175 +98,120 @@ def tag_mentions(
     ent_id`` with char offsets into ``sent_text`` satisfying the invariant
     ``substring(sent_text, start+1, end-start) == surface``
     (article_normaliser.py:285-324 alignment check, enforced downstream).
-    """
-    # --- plan-time dictionary stats -----------------------------------------
-    # The dictionary is a broadcast dim by design, so collecting its distinct
-    # first tokens (anchor IN-set) at plan time is legitimate driver work —
-    # but only up to a point: a multi-million-term gazetteer would bloat the
-    # plan with a giant IN-list literal. Above ``max_prefilter_terms``
-    # distinct first/last tokens the pre-filter is skipped automatically (the
-    # broadcast hash join below prunes non-anchors just as correctly, one
-    # narrow stage later). The count is a cheap agg over the broadcast dim.
-    # ONE bounded job decides and fetches: limit(max+1) caps driver memory,
-    # and an over-limit result means "skip the prefilter".
-    firsts: list[str] | None = sorted(
-        r["first_tok"]
-        for r in dictionary.select("first_tok")
-        .distinct()
-        .limit(max_prefilter_terms + 1)
-        .collect()
-    )
-    if len(firsts) > max_prefilter_terms:
-        firsts = None
 
-    # --- dictionary-side irregular-plural expansion --------------------------
-    # The F8 override map is applied to the DIM side, never per corpus
-    # token: for every dictionary term whose LAST token (== only token when
-    # n==1) is the lemma of an irregular plural, a variant row with the
-    # plural substituted is unioned in, marked ``_exp = 1``. The per-token
-    # hot path keeps the EXACT destem-only expression shape — measured:
-    # even a one-entry override CASE wrapped around destem in the fused
-    # normalize→sentencize→tag stage cost 15-40% of the whole pipeline at 8
-    # cores (conditional branches are excluded from codegen subexpression
-    # elimination, so every extra WHEN level re-evaluates the regex-derived
-    # key), while the dim-side union is O(|dict|) plan-time work.
-    #
-    # Exact full-map semantics are preserved:
-    # * override hit  (lemma(k) = v, v in dict)  -> expanded row, EXACT tier;
-    # * destem-tier matching is suppressed against expanded rows (``_exp``)
-    #   and for override KEYS whose destem collides with a dictionary token
-    #   (``colliding`` — an override key must never fall through to destem,
-    #   the override short-circuits it in lemma_expr semantics);
-    # * everything else destems as before.
-    #
-    # The relevant dictionary tokens come from ONE bounded probe job that
-    # works at ANY dictionary size: probe the dim's first/last tokens
-    # against the (small, fixed) set of override values plus destems of
-    # override keys — the result is at most |override map| rows, never the
-    # full token set, so a multi-million-term gazetteer pays one tiny
-    # broadcast-dim scan, not a giant driver collect.
+    Matching is WHOLE-WINDOW lemma equality (labelstudio_e2e.py:179-185
+    lemmatizes every token of the dictionary term; :218-226 compares
+    ``window_lemmas == lemma_tokens`` position-by-position): a window matches
+    a term iff ``norm(window_key_i) == norm(dict_token_i)`` at EVERY
+    position, with ``norm`` = irregular-override / override-value fixpoint /
+    rule destem / identity (functions/text.py norm_key_expr). So "mice
+    models" matches dictionary "mouse model" — inflection on non-head tokens
+    links exactly as in the reference.
+    """
     spark = dictionary.sparkSession
     ov = dict(lemma_overrides or {})
 
-    def _py_destem(k: str) -> str | None:
+    def _py_prenorm(k: str) -> str:
         if k.endswith("'s") and len(k) > 2:
             return k[:-2]
         if k.endswith("s") and len(k) > 3:
             return k[:-1]
-        return None
+        return k
 
-    if ov:
-        probe_vals = sorted(
-            set(ov.values()) | {d for k in ov if (d := _py_destem(k)) is not None}
+    # --- dictionary-side normalization (dim work, off the hot path) ---------
+    # Every dictionary token is normalized with the FULL lemma function; rows
+    # whose normalized token sequences collide within (ent_id, label) merge
+    # to one row keeping the lexicographically smallest surface term
+    # (deterministic output). The override CASE chain runs only over the
+    # broadcast dim — measured round 2: even a one-entry conditional wrapped
+    # around destem in the fused per-token stage cost 15-40% of the whole
+    # pipeline (conditional branches are excluded from codegen subexpression
+    # elimination), so the per-token hot path below stays a bare
+    # coalesce(destem, key) with NO override/collision conditionals ever.
+    d_norm = (
+        dictionary.withColumn(
+            "nd_tokens", F.transform(F.col("term_tokens"), lambda t: norm_key_expr(t, ov))
         )
-        last_tok = F.element_at("term_tokens", F.col("n"))
-        hit_rows = (
-            dictionary.select(
-                F.explode(F.array(F.col("first_tok"), last_tok)).alias("tk"),
-                (F.col("n") == 1).alias("single"),
-            )
-            .where(F.col("tk").isin(probe_vals))
-            .groupBy("tk")
-            .agg(F.max("single").alias("single"))
-            .collect()
-        )
-        dict_hits = {r["tk"] for r in hit_rows}
-        singles = {r["tk"] for r in hit_rows if r["single"]}
-        exp_pairs = [(p, s) for p, s in sorted(ov.items()) if s in dict_hits]
-        colliding = sorted(
-            k for k in ov if (ds := _py_destem(k)) is not None and ds in dict_hits
-        )
-    else:
-        exp_pairs, colliding = [], []
+        .groupBy("ent_id", "label", "nd_tokens")
+        .agg(F.min("term").alias("term"))
+        .withColumn("n", F.size("nd_tokens").cast("int"))
+        .withColumn("first_nd", F.element_at("nd_tokens", 1))
+    )
 
-    d0 = dictionary.withColumn("_exp", F.lit(0))
-    if exp_pairs:
-        inv = F.broadcast(
-            spark.createDataFrame(exp_pairs, "plural string, singular string")
+    # --- anchor alias rows ---------------------------------------------------
+    # Stage 1 anchors on PRENORM(first corpus token) = coalesce(destem, key).
+    # For corpus tokens where prenorm != norm the dim grows alias rows whose
+    # join key is the prenorm form, so the anchor join stays a broadcast
+    # EQUI-join with zero hot-path conditionals:
+    #   (i)  override keys:    "mice"  -> alias first_tok "mice"  (prenorm of
+    #        an irregular plural is itself or its naive destem);
+    #   (ii) override values ending in s: corpus "metastasis" prenorms to
+    #        "metastasi" while the dict token stays "metastasis" — alias row
+    #        keyed by the prenorm form.
+    # The alias table is a pure-Python literal derived from the override map
+    # (<= 2|ov| rows) broadcast-joined to the dim: no driver probe of the
+    # dictionary at ANY dictionary size. Stage 2 re-validates position 1 with
+    # the full norm, so over-generated anchors (e.g. corpus "axe" hitting the
+    # alias of override "axes"->"axis") are rejected there — the round-2/3
+    # ``colliding`` suppression machinery is subsumed by construction.
+    alias_pairs = sorted(
+        {(_py_prenorm(k), v) for k, v in ov.items() if _py_prenorm(k) != v}
+        | {(_py_prenorm(v), v) for v in ov.values() if _py_prenorm(v) != v}
+    )
+    d0 = d_norm.withColumn("first_tok", F.col("first_nd"))
+    if alias_pairs:
+        al = F.broadcast(
+            spark.createDataFrame(alias_pairs, "alias_first string, nd_first string")
         )
-        exp_rows = (
-            dictionary.join(
-                inv, F.element_at("term_tokens", F.col("n")) == F.col("singular")
-            )
-            .withColumn(
-                "term_tokens",
-                F.concat(
-                    F.slice("term_tokens", 1, F.col("n") - 1), F.array(F.col("plural"))
-                ),
-            )
-            .withColumn("first_tok", F.element_at("term_tokens", 1))
-            .drop("plural", "singular")
-            .withColumn("_exp", F.lit(1))
+        extra = (
+            d_norm.join(al, F.col("first_nd") == F.col("nd_first"))
+            .withColumn("first_tok", F.col("alias_first"))
+            .drop("alias_first", "nd_first")
         )
-        d0 = d0.unionByName(exp_rows.select(*d0.columns))
-        if firsts is not None:
-            # plurals expanded into single-token terms become anchor
-            # first-tokens (multi-token expansions only change the LAST
-            # token, so the anchor IN-set is unaffected by them)
-            firsts = sorted(set(firsts) | {p for (p, s) in exp_pairs if s in singles})
+        d0 = d0.unionByName(extra.select(*d0.columns)).dropDuplicates(
+            ["ent_id", "label", "nd_tokens", "first_tok"]
+        )
+
+    # --- plan-time anchor IN-set --------------------------------------------
+    # The dictionary is a broadcast dim by design, so collecting its distinct
+    # anchor tokens at plan time is legitimate driver work — but only up to a
+    # point: above ``max_prefilter_terms`` distinct tokens the pre-filter is
+    # skipped automatically (the broadcast hash join prunes non-anchors just
+    # as correctly, one narrow stage later). ONE bounded job decides and
+    # fetches: limit(max+1) caps driver memory.
+    firsts: list[str] | None = sorted(
+        r["first_tok"]
+        for r in d0.select("first_tok").distinct().limit(max_prefilter_terms + 1).collect()
+    )
+    if len(firsts) > max_prefilter_terms:
+        firsts = None
 
     # --- stage 1: anchor detection (allocation-lean) ------------------------
-    # The hot path is ALLOCATION-BANDWIDTH bound, not CPU bound: building
-    # per-token window arrays made 8 cores ~= 32 cores. So: explode bare
-    # tokens (ONE array per sentence), derive match keys as SCALAR
-    # expressions per exploded row (whole-stage-codegen'd), and filter to
-    # anchor hits before anything heavier exists. The plural/possessive
-    # destem variant ('ds', boundary-regex suffix semantics) is only legal on
-    # the term's LAST token; for n==1 the anchor IS the last token.
+    # The hot path is ALLOCATION-BANDWIDTH bound, not CPU bound: explode bare
+    # tokens (ONE array per sentence), derive the single prenorm anchor key
+    # as a SCALAR expression per exploded row (whole-stage-codegen'd, no
+    # struct-array explode, no conditionals beyond destem itself), and filter
+    # to anchor hits before anything heavier exists.
     key3 = ["conv_id", "turn_idx", "sent_idx"]
     toks_df = sentences.select(
         *key3, F.posexplode(F.split(F.col("sent_text"), " ")).alias("pos0", "tok")
     )
-    core = token_core_expr(F.col("tok"))
-    key = F.lower(core)
-    if colliding:
-        key_ds_expr = F.when(
-            ~F.col("key").isin(colliding), destem_expr(F.col("key"))
-        )
-    else:
-        key_ds_expr = destem_expr(F.col("key"))
-    keyed = toks_df.withColumn("key", key).withColumn("key_ds", key_ds_expr)
+    keyed = toks_df.withColumn("key", F.lower(token_core_expr(F.col("tok")))).withColumn(
+        "akey", F.coalesce(destem_expr(F.col("key")), F.col("key"))
+    )
     if firsts is not None:
-        keyed = keyed.filter(
-            F.col("key").isin(firsts)
-            | F.coalesce(F.col("key_ds").isin(firsts), F.lit(False))
-        )
-    cand_filter = (
-        (lambda c: c["k"].isNotNull() & c["k"].isin(firsts))
-        if firsts is not None
-        else (lambda c: c["k"].isNotNull())
-    )
-    anchors = (
-        keyed.select(
-            *key3,
-            "pos0",
-            F.explode(
-                F.filter(
-                    F.array(
-                        F.struct(F.col("key").alias("k"), F.lit("exact").alias("v")),
-                        F.struct(F.col("key_ds").alias("k"), F.lit("ds").alias("v")),
-                    ),
-                    cand_filter,
-                )
-            ).alias("c"),
-        )
-        .select(*key3, "pos0", F.col("c")["k"].alias("anchor_key"), F.col("c")["v"].alias("variant"))
-    )
+        keyed = keyed.filter(F.col("akey").isin(firsts))
+    anchors = keyed.select(*key3, "pos0", F.col("akey").alias("anchor_key"))
 
     d = F.broadcast(d0)
-    # the destem ('ds') anchor tier is legal only for single-token terms and
-    # only against NON-expanded rows (an expanded plural row reached via a
-    # destemmed anchor would be double normalization)
-    cand = anchors.join(d, anchors["anchor_key"] == d["first_tok"], "inner").filter(
-        (F.col("variant") == "exact") | ((F.col("n") == 1) & (F.col("_exp") == 0))
-    )
+    cand = anchors.join(d, anchors["anchor_key"] == d["first_tok"], "inner")
 
     # --- stage 2: window validation on candidate rows only ------------------
     # Join candidates back to the sentence table on the sentence key. Both
     # sides descend from the SAME normalize exchange (hash(conv_id,turn_idx)
     # clusters every sentence key), so this is a co-partitioned join — no new
     # shuffle. Candidates are ~O(dictionary hit rate) per sentence, so the
-    # window re-tokenization below runs per CANDIDATE, not per token.
+    # full-norm window comparison below runs per CANDIDATE, not per token.
     withs = cand.join(sentences.select(*key3, "sent_text"), key3, "inner")
 
     n, pos0 = F.col("n"), F.col("pos0")
@@ -270,27 +219,17 @@ def tag_mentions(
     window = F.slice(toks2, pos0 + 1, n)
     wkeys = F.transform(window, lambda t: F.lower(token_core_expr(t)))
     in_bounds = n <= (F.size(toks2) - pos0)
-    # Catalyst may reorder conjuncts: indexed access stays try_*/clamped.
-    mid_len = F.greatest(n - 2, F.lit(0))
-    mid_ok = (n <= 2) | (
-        F.slice(wkeys, 2, mid_len) == F.slice(F.col("term_tokens"), 2, mid_len)
+    # whole-window norm equality; zip_with pads a short (out-of-bounds)
+    # window with NULL keys -> NULL comparison -> forall not TRUE, and the
+    # explicit in_bounds conjunct keeps the intent readable.
+    all_ok = F.forall(
+        F.zip_with(
+            wkeys, F.col("nd_tokens"), lambda w, dt: norm_key_expr(w, ov) == dt
+        ),
+        lambda x: x,
     )
-    last_dict = F.element_at("term_tokens", n)
-    last_key = F.try_element_at(wkeys, n)
-    # destem tier: non-expanded rows only, and never for override keys
-    # (the override short-circuits destem in lemma semantics)
-    ds_last_ok = (F.col("_exp") == 0) & (
-        F.coalesce(destem_expr(last_key), F.lit("")) == last_dict
-    )
-    if colliding:
-        ds_last_ok = ds_last_ok & ~last_key.isin(colliding)
-    last_ok = (last_key == last_dict) | ds_last_ok
-    match = F.when(n == 1, F.lit(True)).otherwise(in_bounds & mid_ok & last_ok)
-    j = (
-        withs.withColumn("_w", window)
-        .withColumn("_wk", wkeys)
-        .filter(match)
-    )
+    match = in_bounds & F.coalesce(all_ok, F.lit(False))
+    j = withs.withColumn("_w", window).filter(match)
 
     # offsets: start of token pos0 = sum(len+1) over preceding tokens —
     # an O(pos) fold over a slice, no offsets array materialized.

@@ -87,6 +87,21 @@ def lemma(key: str, overrides: dict[str, str] | None = None) -> str | None:
     return destem(key)
 
 
+def norm_key(key: str, overrides: dict[str, str] | None = None) -> str:
+    """TOTAL lemma normalization — mirror of functions/text.py norm_key_expr:
+    override map, then override-VALUE fixpoint (a known lemma is never
+    re-stemmed: 'metastasis' stays 'metastasis'), then rule destem, else
+    identity. Applied to both dictionary and window tokens (whole-window
+    lemma matching, labelstudio_e2e.py:179-185 + 218-226)."""
+    if overrides:
+        if key in overrides:
+            return overrides[key]
+        if key in overrides.values():
+            return key
+    d = destem(key)
+    return d if d is not None else key
+
+
 def prepare_dictionary(dict_df: pd.DataFrame) -> pd.DataFrame:
     d = dict_df[dict_df["term"].str.len() > 2].copy()
     d = d[~((d["label"] == "Anatomy") & d["term"].str.lower().str.contains(REDLIST))]
@@ -102,6 +117,10 @@ def _match_sentence(
     dict_rows: list[tuple],
     lemma_overrides: dict[str, str] | None = None,
 ) -> list[dict]:
+    """dict_rows: (ent_id, label, term, nd_tokens) with nd_tokens already
+    lemma-normalized. Whole-window lemma matching: the window matches iff the
+    normalized window keys equal the normalized dictionary tokens at every
+    position (mirror of tag_mentions stage 2)."""
     toks = sent.split(" ")
     starts, cur = [], 0
     for t in toks:
@@ -109,26 +128,16 @@ def _match_sentence(
         cur += len(t) + 1
     leads, cores = zip(*(token_core(t) for t in toks)) if toks else ((), ())
     keys = [c.lower() for c in cores]
-    keys_ds = [lemma(k, lemma_overrides) for k in keys]
+    keys_nm = [norm_key(k, lemma_overrides) for k in keys]
 
     spans = []
     for pos in range(len(toks)):
-        for ent_id, label, term, term_tokens, n, first in dict_rows:
-            anchor_ok_exact = keys[pos] == first
-            anchor_ok_ds = keys_ds[pos] == first
-            if n == 1:
-                if not (anchor_ok_exact or anchor_ok_ds):
-                    continue
-            else:
-                if not anchor_ok_exact:
-                    continue
-                if pos + n > len(toks):
-                    continue
-                if keys[pos + 1 : pos + n - 1] != term_tokens[1 : n - 1]:
-                    continue
-                last_k, last_ds = keys[pos + n - 1], keys_ds[pos + n - 1]
-                if not (last_k == term_tokens[-1] or last_ds == term_tokens[-1]):
-                    continue
+        for ent_id, label, term, nd_tokens in dict_rows:
+            n = len(nd_tokens)
+            if pos + n > len(toks):
+                continue
+            if keys_nm[pos : pos + n] != list(nd_tokens):
+                continue
             start = starts[pos] + leads[pos]
             end = starts[pos + n - 1] + leads[pos + n - 1] + len(cores[pos + n - 1])
             spans.append(
@@ -235,14 +244,26 @@ def extract_spans(
     if lemma_overrides is None:
         lemma_overrides = IRREGULAR_PLURALS
     d = prepare_dictionary(dict_df)
-    dict_rows = list(
-        d[["ent_id", "label", "term", "term_tokens", "n", "first_tok"]].itertuples(
-            index=False, name=None
-        )
+    # lemma-normalize dictionary tokens; rows whose normalized sequences
+    # collide within (ent_id, label) keep the smallest surface term —
+    # mirror of tag_mentions' dim-side groupBy/min
+    dn = d.copy()
+    dn["nd_tokens"] = dn["term_tokens"].map(
+        lambda ts: tuple(norm_key(t, lemma_overrides) for t in ts)
     )
+    dn = dn.sort_values("term", kind="mergesort").drop_duplicates(
+        subset=["ent_id", "label", "nd_tokens"], keep="first"
+    )
+    dict_rows = list(
+        dn[["ent_id", "label", "term", "nd_tokens"]].itertuples(index=False, name=None)
+    )
+    # the linker keys on RAW dictionary tokens (link_model_mentions operates
+    # on prepare_dictionary output, not the lemma-normalized tagging dim)
     dict_by_key: dict[str, list[tuple]] = {}
     dict_by_akey: dict[str, list[tuple]] = {}
-    for ent_id, label, term, term_tokens, _n, _f in dict_rows:
+    for ent_id, label, term, term_tokens in d[
+        ["ent_id", "label", "term", "term_tokens"]
+    ].itertuples(index=False, name=None):
         dict_by_key.setdefault(" ".join(term_tokens), []).append((ent_id, term, label))
         ak = alias_key(term)
         if ak:

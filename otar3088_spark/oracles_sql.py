@@ -11,18 +11,43 @@ from __future__ import annotations
 
 from otar3088_spark.queries import DOC_DICT, KG_FIXTURE_DIR
 
-_DOC_DICT_VALUES = ", ".join(f"('{i}', '{t}', '{l}')" for (i, t, l) in DOC_DICT)
+
+def _sq0(s: str) -> str:
+    """Escape a value for embedding as a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+_DOC_DICT_VALUES = ", ".join(
+    f"('{_sq0(i)}', '{_sq0(t)}', '{_sq0(l)}')" for (i, t, l) in DOC_DICT
+)
 
 # Dictionary CTE reused by the tagging oracles. Only multi-token n in {1,2}
 # occurs in DOC_DICT; the SQL handles both via a unigram and a bigram pass.
 # Mirrors the ENGINE normalization exactly (tagging.py / functions/text.py):
 # token core = strip leading ([\"' and trailing )].,;:!?\"' punctuation;
-# match key = lower(core); plural/possessive destem on the unigram anchor and
-# on the LAST token of a multi-token term; span offsets are core extents
-# (raw start + lead-strip width .. + core length). Then the engine's
-# min-ent-id-per-(start,end,label) pick and longest-match containment rule.
+# match key = lower(core); WHOLE-WINDOW lemma equality — both dictionary
+# tokens and window tokens are normalized with coalesce(destem, identity)
+# (no override map in this query) and compared position-by-position; span
+# offsets are core extents (raw start + lead-strip width .. + core length).
+# Then the engine's min-ent-id-per-(start,end,label) pick and longest-match
+# containment rule.
+_DESTEM_NM = (
+    "COALESCE(CASE WHEN {c} LIKE '%''s' AND length({c}) > 2 THEN substr({c}, 1, length({c}) - 2) "
+    "WHEN {c} LIKE '%s' AND length({c}) > 3 THEN substr({c}, 1, length({c}) - 1) END, {c})"
+)
+
 _TAGGING_CTE = f"""
-WITH dict(ent_id, term, label) AS (VALUES {_DOC_DICT_VALUES}),
+WITH dict0(ent_id, term, label) AS (VALUES {_DOC_DICT_VALUES}),
+dictn AS (
+    SELECT ent_id, label, min(term) AS term, ntt, len(ntt)::INT AS n
+    FROM (
+        SELECT ent_id, label, term,
+               list_transform(string_split_regex(lower(trim(term)), '\\s+'),
+                              t -> {_DESTEM_NM.format(c="t")}) AS ntt
+        FROM dict0 WHERE length(term) > 2
+    )
+    GROUP BY ent_id, label, ntt
+),
 toks_raw AS (
     SELECT doc_id,
            unnest(string_split(text, ' ')) AS tok_raw,
@@ -38,9 +63,7 @@ toks AS (
 ),
 keyed AS (
     SELECT doc_id, pos, tok_raw, rawlen, lead, key, length(key) AS corelen,
-           CASE WHEN key LIKE '%''s' AND length(key) > 2 THEN substr(key, 1, length(key) - 2)
-                WHEN key LIKE '%s' AND length(key) > 3 THEN substr(key, 1, length(key) - 1)
-                ELSE NULL END AS key_ds,
+           {_DESTEM_NM.format(c="key")} AS key_nm,
            COALESCE(SUM(rawlen + 1) OVER (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS rawstart
@@ -50,9 +73,8 @@ uni AS (
     SELECT p.doc_id, (p.rawstart + p.lead)::INT AS start,
            (p.rawstart + p.lead + p.corelen)::INT AS "end",
            d.term, d.label, d.ent_id
-    FROM keyed p JOIN dict d
-      ON (p.key = d.term OR p.key_ds = d.term)
-     AND length(d.term) > 2 AND strpos(d.term, ' ') = 0
+    FROM keyed p JOIN dictn d
+      ON d.n = 1 AND p.key_nm = d.ntt[1]
 ),
 bi AS (
     SELECT a.doc_id, (a.rawstart + a.lead)::INT AS start,
@@ -60,10 +82,9 @@ bi AS (
            d.term, d.label, d.ent_id
     FROM keyed a
     JOIN keyed b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-    JOIN dict d ON strpos(d.term, ' ') > 0
-      AND a.key = string_split(d.term, ' ')[1]
-      AND (b.key = string_split(d.term, ' ')[2]
-           OR b.key_ds = string_split(d.term, ' ')[2])
+    JOIN dictn d ON d.n = 2
+      AND a.key_nm = d.ntt[1]
+      AND b.key_nm = d.ntt[2]
 ),
 allm AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
 dedup AS (SELECT DISTINCT doc_id, start, "end", term, label, ent_id FROM allm),
@@ -256,19 +277,28 @@ FROM (
 # capital initial, and not the 'al.' of a preceding 'et'.
 
 
-def _lemma_case_sql(col: str) -> str:
-    """COALESCE(irregular-override CASE, rule destem) — functions/text.py
-    lemma_expr restated in SQL; the override map is embedded literally."""
+_sq = _sq0
+
+
+def _norm_case_sql(col: str) -> str:
+    """functions/text.py norm_key_expr restated in SQL (TOTAL normalization):
+    irregular-override CASE, then override-VALUE fixpoint, then rule destem,
+    then identity. The override map is embedded as escaped literals."""
     from otar3088_spark.functions.text import IRREGULAR_PLURALS
 
     whens = " ".join(
-        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(IRREGULAR_PLURALS.items())
+        f"WHEN '{_sq(k)}' THEN '{_sq(v)}'"
+        for k, v in sorted(IRREGULAR_PLURALS.items())
     )
+    vals = ", ".join(f"'{_sq(v)}'" for v in sorted(set(IRREGULAR_PLURALS.values())))
     destem = (
         f"CASE WHEN {col} LIKE '%''s' AND length({col}) > 2 THEN substr({col}, 1, length({col}) - 2) "
         f"WHEN {col} LIKE '%s' AND length({col}) > 3 THEN substr({col}, 1, length({col}) - 1) END"
     )
-    return f"COALESCE(CASE {col} {whens} END, {destem})"
+    return (
+        f"COALESCE(CASE {col} {whens} END, "
+        f"CASE WHEN {col} IN ({vals}) THEN {col} END, {destem}, {col})"
+    )
 
 
 def _akey_sql(expr: str) -> str:
@@ -296,35 +326,32 @@ def _kg_gazetteer_sql(max_n: int = 4, merged: bool = False) -> str:
         "abstract|introduction|methods|results|discussion|conclusion|background|"
         "acknowledgements|references|conflict of interest|supplementary material"
     )
-    lemma_k = _lemma_case_sql("key")
+    norm_k = _norm_case_sql("key")
 
-    # n-gram candidate passes: first token exact, mid tokens exact, last
-    # token exact-or-lemma (n=1: the single token is the last token)
+    # n-gram candidate passes: WHOLE-WINDOW lemma equality — every position
+    # compares the full-norm window key against the normalized dictionary
+    # token (tag_mentions stage 2; labelstudio_e2e.py:218-226)
     cands = [f"""
     SELECT k1.conv_id, k1.turn_idx, k1.sent_idx,
            (k1.rawstart + k1.lead)::INT AS start,
            (k1.rawstart + k1.lead + k1.corelen)::INT AS "end",
            d.term, d.label, d.ent_id
-    FROM ktok k1 JOIN dictn d
-      ON d.n = 1 AND (k1.key = d.tt[1] OR k1.key_lm = d.tt[1])"""]
+    FROM ktok k1 JOIN dictm d
+      ON d.n = 1 AND k1.key_nm = d.ntt[1]"""]
     for n in range(2, max_n + 1):
         joins = []
         for i in range(2, n + 1):
-            cond = (
-                f"(t{i}.key = d.tt[{i}] OR t{i}.key_lm = d.tt[{i}])"
-                if i == n
-                else f"t{i}.key = d.tt[{i}]"
-            )
             joins.append(
                 f"    JOIN ktok t{i} ON t{i}.conv_id = k1.conv_id AND t{i}.turn_idx = k1.turn_idx\n"
-                f"      AND t{i}.sent_idx = k1.sent_idx AND t{i}.spos = k1.spos + {i - 1} AND {cond}"
+                f"      AND t{i}.sent_idx = k1.sent_idx AND t{i}.spos = k1.spos + {i - 1}"
+                f" AND t{i}.key_nm = d.ntt[{i}]"
             )
         cands.append(f"""
     SELECT k1.conv_id, k1.turn_idx, k1.sent_idx,
            (k1.rawstart + k1.lead)::INT AS start,
            (t{n}.rawstart + t{n}.lead + t{n}.corelen)::INT AS "end",
            d.term, d.label, d.ent_id
-    FROM dictn d JOIN ktok k1 ON d.n = {n} AND k1.key = d.tt[1]
+    FROM dictm d JOIN ktok k1 ON d.n = {n} AND k1.key_nm = d.ntt[1]
 {chr(10).join(joins)}""")
     all_cands = "\n    UNION ALL".join(cands)
 
@@ -443,7 +470,7 @@ stok AS (
 ktok AS MATERIALIZED (
     SELECT conv_id, turn_idx, sent_idx, spos, rawstart, tok, length(tok) AS rawlen,
            length(tok) - length(regexp_replace(tok, '^[(\\["'']+', '')) AS lead,
-           length(key) AS corelen, key, {lemma_k} AS key_lm
+           length(key) AS corelen, key, {norm_k} AS key_nm
     FROM (
         SELECT *, lower(regexp_replace(regexp_replace(tok, '^[(\\["'']+', ''),
                                        '[)\\].,;:!?"'']+$', '')) AS key
@@ -459,6 +486,15 @@ dictn AS MATERIALIZED (
         WHERE length(term) > 2
           AND NOT (label = 'Anatomy' AND regexp_matches(lower(term), '(genesis|cytic|ial|yal)$'))
     )
+),
+dictm AS MATERIALIZED (
+    SELECT ent_id, label, min(term) AS term, ntt, len(ntt)::INT AS n
+    FROM (
+        SELECT ent_id, label, term,
+               list_transform(tt, t -> {_norm_case_sql("t")}) AS ntt
+        FROM dictn
+    )
+    GROUP BY ent_id, label, ntt
 ),
 allm AS ({all_cands}
 ),

@@ -32,13 +32,19 @@ def _span_stage_fingerprint(
 ) -> str:
     """Hex fingerprint of everything the span stage's output depends on
     besides the transcripts: the model toggle, the scorer identity, and an
-    order-insensitive content hash of the dictionary (bit_xor of per-row
-    xxhash64 over the JSON-serialized row — one aggregate over the broadcast
-    dim, negligible next to the pipeline)."""
+    order-insensitive content hash of the dictionary (SUM of per-row
+    xxhash64 plus the row count over the JSON-serialized rows — one
+    aggregate over the broadcast dim, negligible next to the pipeline).
+    Sum+count, not bit_xor: xor cancels rows with even multiplicity, so a
+    raw input {A, A, B} would fingerprint identically to {B} and could
+    silently resume a stale span snapshot."""
     import hashlib
 
     row = dictionary.select(
-        F.bit_xor(F.xxhash64(F.to_json(F.struct(*dictionary.columns)))).alias("h")
+        # decimal(38,0) accumulator: ANSI mode (Spark 4 default) would raise
+        # on bigint sum overflow for large dictionaries
+        F.sum(F.xxhash64(F.to_json(F.struct(*dictionary.columns))).cast("decimal(38,0)")).alias("h"),
+        F.count(F.lit(1)).alias("c"),
     ).first()
     # Custom scorers fingerprint by OBJECT identity (qualname + id), not
     # qualname alone: two differently-configured same-qualname closures must
@@ -57,7 +63,7 @@ def _span_stage_fingerprint(
     ).hexdigest()[:8]
     key = (
         f"model={bool(use_model or scorer is not None)};scorer={scorer_id};"
-        f"dict={row['h']};lemma={lemma_fp}"
+        f"dict={row['h']}:{row['c']};lemma={lemma_fp}"
     )
     return hashlib.sha1(key.encode()).hexdigest()[:12]
 

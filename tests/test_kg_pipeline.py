@@ -283,6 +283,71 @@ def test_irregular_plural_corpus_parity(spark, dictionary_df, dictionary_pd):
     assert ("ENT_0102", "is_a", "Anatomy") not in base_t
 
 
+def test_whole_window_lemma_matching(spark):
+    """Round-4 F8/J4 depth: the reference lemmatizes EVERY token of both the
+    dictionary term and the sliding window and compares position-by-position
+    (labelstudio_e2e.py:179-185 lemmatize_term, :218-226 window_lemmas ==
+    lemma_tokens) — so inflection on NON-head tokens must link:
+    "mice models" -> "mouse model", "dorsal roots ganglia" ->
+    "dorsal root ganglion". Also pins the value-fixpoint tier ("nucleus"
+    never destems to "nucleu") and override short-circuit ("axes" must NOT
+    match dictionary "axe" via destem, while possessive "axe's" must)."""
+    from otar3088_spark.functions.text import IRREGULAR_PLURALS
+
+    dict_pd = pd.DataFrame(
+        [
+            ("E1", "mouse model", "CellType", "C1"),
+            ("E2", "nucleus accumbens", "Anatomy", "C2"),
+            ("E3", "foot ulcer", "AdverseEvent", "C3"),
+            ("E4", "metastasis", "AdverseEvent", "C4"),
+            ("E5", "axe", "Drug", "C5"),
+            ("E6", "dorsal root ganglion", "Anatomy", "C6"),
+        ],
+        columns=["ent_id", "term", "label", "canonical_id"],
+    )
+    sents_pd = pd.DataFrame(
+        [
+            ("c1", 0, 0, "the mice models were treated with axes today."),
+            ("c1", 0, 1, "nuclei accumbens and nucleus accumbens were imaged."),
+            ("c1", 0, 2, "feet ulcers and foot ulcers and metastases appeared."),
+            ("c1", 0, 3, "dorsal roots ganglia were dissected."),
+            ("c1", 0, 4, "an axe and two axes and the axe's handle."),
+        ],
+        columns=["conv_id", "turn_idx", "sent_idx", "sent_text"],
+    )
+    spans = tag_mentions(
+        spark.createDataFrame(sents_pd),
+        prepare_dictionary(spark.createDataFrame(dict_pd)),
+        lemma_overrides=IRREGULAR_PLURALS,
+    )
+    got = sorted(
+        tuple(r)
+        for r in spans.select("sent_idx", "surface", "term", "ent_id").collect()
+    )
+    # pandas-oracle mirror of the same configuration
+    dn = oracle.prepare_dictionary(dict_pd)
+    dn["nd_tokens"] = dn["term_tokens"].map(
+        lambda ts: tuple(oracle.norm_key(t, IRREGULAR_PLURALS) for t in ts)
+    )
+    dr = list(dn[["ent_id", "label", "term", "nd_tokens"]].itertuples(index=False, name=None))
+    want = sorted(
+        (si, s["surface"], s["term"], s["ent_id"])
+        for (_, _, si, txt) in sents_pd.itertuples(index=False)
+        for s in oracle._match_sentence(txt, dr, IRREGULAR_PLURALS)
+    )
+    assert got == want
+    surfaces = {(si, surf) for (si, surf, _, _) in got}
+    # inflected-non-head links fired
+    assert (0, "mice models") in surfaces
+    assert (2, "feet ulcers") in surfaces
+    assert (3, "dorsal roots ganglia") in surfaces
+    # value fixpoint: both the irregular plural and the lemma form link
+    assert (1, "nuclei accumbens") in surfaces and (1, "nucleus accumbens") in surfaces
+    # override short-circuit: "axes" never reaches dictionary "axe" via destem
+    assert not any(surf in ("axes", "axes today") for (_, surf) in surfaces)
+    assert (4, "axe's") in surfaces and (4, "axe") in surfaces
+
+
 def test_fuzz_corpus_full_parity(spark, dictionary_df, dictionary_pd):
     """Seeded adversarial fuzz corpus (punctuation-wrapped terms, hyphen/
     plural/case variants, abbreviation traps, noise tokens): per-turn text

@@ -29,6 +29,16 @@ EXTRA_DICT = [
     ("ENT_0101", "bacterium", "CellType", "C101"),
     ("ENT_0102", "dorsal ganglion", "Anatomy", "C102"),
     ("ENT_0103", "metastasis", "AdverseEvent", "C103"),
+    # whole-window lemma targets (round 4): inflection on NON-head tokens —
+    # the reference compares per-token lemmas across the whole window
+    # (labelstudio_e2e.py:218-226), so "mice models" must link "mouse model"
+    ("ENT_0104", "mouse model", "CellType", "C104"),
+    ("ENT_0105", "foot ulcer", "AdverseEvent", "C105"),
+    # first token is an override VALUE ending in 's' ("nucleus" must stay
+    # "nucleus", not destem to "nucleu") — exercises the value-fixpoint tier
+    ("ENT_0106", "nucleus accumbens", "Anatomy", "C106"),
+    # 3-token term: mid-token destem + last-token irregular simultaneously
+    ("ENT_0107", "dorsal root ganglion", "Anatomy", "C107"),
 ]
 
 IRREGULAR_TURNS = [
@@ -41,6 +51,16 @@ IRREGULAR_TURNS = [
     ("conv_irr02", 0, "user",
      "Bacteria's growth slowed. paracetamol was given for headaches.",
      None, pd.Timestamp("2024-03-02 00:00:00")),
+    # round-4 whole-window lemma turns: inflected non-head tokens
+    ("conv_irr03", 0, "user",
+     "the mice models were treated with aspirin and foot ulcers healed.",
+     None, pd.Timestamp("2024-03-03 00:00:00")),
+    ("conv_irr03", 1, "assistant",
+     "feet ulcers recurred; dorsal roots ganglia were dissected.",
+     None, pd.Timestamp("2024-03-03 00:01:00")),
+    ("conv_irr04", 0, "user",
+     "nuclei accumbens lesions appeared. the nucleus accumbens was imaged.",
+     None, pd.Timestamp("2024-03-04 00:00:00")),
 ]
 
 
