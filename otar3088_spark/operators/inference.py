@@ -75,6 +75,17 @@ def _scorer_cache_key(prefix: str, fn: object) -> str:
     qn = getattr(fn, "__qualname__", None) or type(fn).__qualname__
     key = f"{prefix}-{mod}.{qn}@{id(fn):x}"
     _KEY_REGISTRY[key] = fn
+    if len(_KEY_REGISTRY) > 64:
+        import warnings
+
+        warnings.warn(
+            f"{len(_KEY_REGISTRY)} distinct scorer/classifier objects are "
+            "pinned in the driver registry (and one loaded model per key on "
+            "each executor). If you construct a new scorer per call, pass an "
+            "explicit batch_key= to share one loaded model across calls.",
+            ResourceWarning,
+            stacklevel=3,
+        )
     return key
 
 

@@ -208,6 +208,7 @@ def embedding_near_dups(
     dim: int = 64,
     index: DataFrame | None = None,
     persist_index: bool = True,
+    index_out: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup-family scale path.
 
@@ -224,13 +225,19 @@ def embedding_near_dups(
     (unlike ``ann_lsh_topk``, whose inline index is consumed once). The
     cache is never unpersisted from inside the lazy plan — callers running
     many dedup sweeps should pass a written ``build_lsh_index`` table and
-    set ``persist_index=False``.
+    set ``persist_index=False``, or pass ``index_out=[]`` to receive the
+    persisted index DataFrame (appended to the list) and ``unpersist()`` it
+    once the result has been consumed — otherwise repeated ad-hoc calls in
+    one long-lived session accumulate cached partitions until the context
+    cleaner reclaims them.
     """
     c = index if index is not None else build_lsh_index(
         corpus, bits, num_tables, seed, id_col, vec_col, dim
     )
     if index is None and persist_index:
         c = c.persist()
+        if index_out is not None:
+            index_out.append(c)
     a = c.select("tbl", "sig", F.col("vec_id").alias("id1"),
                  F.col("c_emb").alias("e1"), F.col("c_norm").alias("n1"))
     b = c.select("tbl", "sig", F.col("vec_id").alias("id2"),

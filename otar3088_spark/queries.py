@@ -498,7 +498,10 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection over documents (dedup op #2);
-    xxhash64 signatures are not reproducible in DuckDB -> rows-only check."""
+    xxhash64 signatures are not reproducible in DuckDB -> rows-only check,
+    but the pipeline is TWIN-EQUIVALENT to the fully-oracle-checked md5
+    variant: tests/test_operators.py::test_hash_family_equivalence_of_dedup_twins
+    asserts both hash families produce the identical verified pair set."""
     from otar3088_spark.operators.dedup import minhash_near_dups
 
     d = _t(spark, sf_dir, "documents")
@@ -539,7 +542,10 @@ def q_simhash_buckets_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + 8-bit prefix buckets (dedup op #3)."""
+    """SimHash fingerprints + 8-bit prefix buckets (dedup op #3). xxhash64
+    is not reproducible in DuckDB -> rows-only check, but twin-equivalent to
+    the oracle-checked md5 variant (same equal-text collisions and group
+    structure — test_hash_family_equivalence_of_dedup_twins)."""
     from otar3088_spark.operators.dedup import simhash
 
     d = _t(spark, sf_dir, "documents")

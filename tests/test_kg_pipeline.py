@@ -348,6 +348,123 @@ def test_whole_window_lemma_matching(spark):
     assert (4, "axe's") in surfaces and (4, "axe") in surfaces
 
 
+def test_recorded_hf_ner_output_links(spark):
+    """Round-4 M1 depth: drive the production model seam with RECORDED
+    HF-pipeline-shaped output (tests/fixtures/hf_ner_output.json — entity
+    dicts with aggregation_strategy="simple" character offsets and softmax
+    confidences; reference lineage model_tests.ipynb cell 6 /
+    trial_to_papers.ipynb cells 11-12) instead of the md5 stand-in. The
+    replay scorer plugs into model_mentions via ``scorer=``; the linked and
+    merged outputs are asserted against hand-computed expectations:
+    rank-0 exact/destem links, rank-1 alias links (hyphenated "HEK-293" ->
+    dictionary "HEK 293", "HeLa" -> "hela cell"), homonym fan-out (one row
+    per dictionary label), unlinkable model entities dropped, and dictionary
+    precedence on exact span collisions."""
+    import json
+    from pathlib import Path
+
+    from otar3088_spark.operators.inference import (
+        link_model_mentions,
+        merge_spans_with_model,
+        model_mentions,
+    )
+
+    fx = json.loads(
+        (Path(__file__).parent / "fixtures" / "hf_ner_output.json").read_text()
+    )
+    by_text = {
+        s["text"]: [
+            (e["start"], e["end"], e["entity_group"], e["score"])
+            for e in s["entities"]
+        ]
+        for s in fx["sentences"]
+    }
+
+    def replay_scorer(texts):
+        return [by_text[t] for t in texts]
+
+    sents_pd = pd.DataFrame(
+        [("c0", 0, s["sent_idx"], s["text"]) for s in fx["sentences"]],
+        columns=["conv_id", "turn_idx", "sent_idx", "sent_text"],
+    )
+    sents = spark.createDataFrame(sents_pd)
+    dict_pd = pd.DataFrame(
+        [
+            ("L1", "aspirin", "Drug", "C1"),
+            ("L2", "HEK 293", "CellLine", "C2"),
+            ("L3", "paracetamol", "Drug", "C3"),
+            ("L4", "hela cell", "CellLine", "C4"),
+            ("L5", "headache", "AdverseEvent", "C5"),
+            ("L6", "nausea", "AdverseEvent", "C6"),
+            ("L7", "acetylsalicylic acid", "Drug", "C7"),
+            ("L8", "jurkat", "CellLine", "C8"),
+            ("L9", "jurkat", "CellType", "C8"),
+            ("L10", "bone marrow stromal cell", "CellType", "C9"),
+        ],
+        columns=["ent_id", "term", "label", "canonical_id"],
+    )
+    d = prepare_dictionary(spark.createDataFrame(dict_pd))
+
+    ms = model_mentions(sents, scorer=replay_scorer)
+    got_raw = {
+        (r["sent_idx"], r["start"], r["end"], r["surface"], r["label"], r["score"])
+        for r in ms.collect()
+    }
+    want_raw = {
+        (s["sent_idx"], e["start"], e["end"], e["word"], e["entity_group"], e["score"])
+        for s in fx["sentences"]
+        for e in s["entities"]
+    }
+    assert got_raw == want_raw  # seam reproduces the recorded output exactly
+
+    def span(si, word):
+        (e,) = [
+            e for e in fx["sentences"][si]["entities"] if e["word"] == word
+        ]
+        return (si, e["start"], e["end"])
+
+    linked = link_model_mentions(ms, d)
+    got = {
+        (r["sent_idx"], r["start"], r["end"], r["term"], r["label"], r["ent_id"], r["surface"])
+        for r in linked.collect()
+    }
+    want = {
+        (*span(0, "aspirin"), "aspirin", "Drug", "L1", "aspirin"),
+        (*span(0, "headaches"), "headache", "AdverseEvent", "L5", "headaches"),
+        (*span(1, "HEK-293"), "HEK 293", "CellLine", "L2", "HEK-293"),
+        (*span(2, "HeLa"), "hela cell", "CellLine", "L4", "HeLa"),
+        (*span(2, "paracetamol"), "paracetamol", "Drug", "L3", "paracetamol"),
+        (*span(3, "acetylsalicylic-acid"), "acetylsalicylic acid", "Drug", "L7",
+         "acetylsalicylic-acid"),
+        (*span(5, "nausea"), "nausea", "AdverseEvent", "L6", "nausea"),
+        (*span(6, "aspirin"), "aspirin", "Drug", "L1", "aspirin"),
+        (*span(6, "jurkat"), "jurkat", "CellLine", "L8", "jurkat"),
+        (*span(6, "jurkat"), "jurkat", "CellType", "L9", "jurkat"),
+    }
+    assert got == want  # ibuprofen / vomiting / "bone marrow" correctly unlinked
+
+    gaz = tag_mentions(sents, d)
+    merged = merge_spans_with_model(gaz, linked)
+    mset = {
+        (r["sent_idx"], r["start"], r["end"], r["term"], r["label"], r["ent_id"])
+        for r in merged.collect()
+    }
+    gset = {
+        (r["sent_idx"], r["start"], r["end"], r["term"], r["label"], r["ent_id"])
+        for r in gaz.collect()
+    }
+    # model-only additions: spans the gazetteer cannot reach (hyphenated /
+    # partial-term surfaces); everything colliding keeps the dictionary row
+    model_only = {
+        (*span(1, "HEK-293"), "HEK 293", "CellLine", "L2"),
+        (*span(2, "HeLa"), "hela cell", "CellLine", "L4"),
+        (*span(3, "acetylsalicylic-acid"), "acetylsalicylic acid", "Drug", "L7"),
+    }
+    assert mset == gset | model_only
+    # dict precedence produced no duplicate rows on colliding spans
+    assert merged.count() == len(mset)
+
+
 def test_fuzz_corpus_full_parity(spark, dictionary_df, dictionary_pd):
     """Seeded adversarial fuzz corpus (punctuation-wrapped terms, hyphen/
     plural/case variants, abbreviation traps, noise tokens): per-turn text

@@ -615,3 +615,101 @@ def test_spans_to_iob_midtoken_span_start(spark):
     assert iob["tags"] == ["O", "B-X", "O"]
     back = iob_to_spans(spans_to_iob(sents, spans)).collect()
     assert len(back) == 1 and back[0]["text"] == "bar"
+
+
+def test_hash_family_equivalence_of_dedup_twins(spark):
+    """Round-4 closure of the two rows-only CORRECTNESS entries: the
+    xxhash64 production twins and their md5 oracle twins run the IDENTICAL
+    pipeline over the sf0.001 documents corpus, so their outputs must agree
+    up to hash-family-internal labels.
+
+    * minhash_near_dups vs minhash_near_dups_md5: the VERIFIED near-dup pair
+      set (exact Jaccard >= threshold) is hash-independent — assert full
+      output equality including the jaccard values.
+    * simhash_buckets vs simhash_buckets_md5: simhash values are family-
+      internal, but equal normalized TEXT must yield equal simhash (and thus
+      one bucket) in BOTH families, and the deterministic same-simhash group
+      structure (group-size histogram) must match across families."""
+    from collections import Counter
+
+    from otar3088_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    xx = {
+        (r["id1"], r["id2"], round(r["jaccard"], 4))
+        for r in QUERIES["minhash_near_dups"](spark, sf).collect()
+    }
+    md = {
+        (r["id1"], r["id2"], round(r["jaccard"], 4))
+        for r in QUERIES["minhash_near_dups_md5"](spark, sf).collect()
+    }
+    assert xx and xx == md
+
+    from otar3088_spark.operators.dedup import normalized_text_expr
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ntext = {
+        r["doc_id"]: r["nt"]
+        for r in docs.select("doc_id", normalized_text_expr(F.col("text")).alias("nt")).collect()
+    }
+    for name in ("simhash_buckets", "simhash_buckets_md5"):
+        rows = QUERIES[name](spark, sf).collect()
+        sim = {r["doc_id"]: (r["simhash"], r["bucket"]) for r in rows}
+        by_text: dict[str, set] = {}
+        for d, t in ntext.items():
+            by_text.setdefault(t, set()).add(sim[d])
+        # identical normalized text -> identical (simhash, bucket)
+        assert all(len(v) == 1 for v in by_text.values())
+        groups = Counter(Counter(s for s, _ in sim.values()).values())
+        if name == "simhash_buckets":
+            first = groups
+    assert first == groups  # same group-size histogram across families
+
+
+def test_stdlib_media_codecs_decode_real_bytes(spark):
+    """Round-4 multimodal depth: the committed REAL binaries
+    (tests/fixtures/media/) decode through the full Arrow mapInPandas path
+    with the stdlib codec pair — 16-bit PCM WAV via ``wave`` and binary PPM
+    — no fake, no third-party libs. Asserts exact container metadata and
+    hand-computable signal features (constant RMS envelope of a pure sine;
+    raster mean of a known gradient)."""
+    from pathlib import Path
+
+    from otar3088_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+        stdlib_decode,
+    )
+
+    mdir = Path(__file__).parent / "fixtures" / "media"
+    wav = mdir.joinpath("tone.wav").read_bytes()
+    ppm = mdir.joinpath("gradient.ppm").read_bytes()
+    media = spark.createDataFrame(
+        [
+            ("w1", "audio", bytearray(wav), ("audio/wav", len(wav), "fixture")),
+            ("p1", "image", bytearray(ppm), ("image/x-portable-pixmap", len(ppm), "fixture")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in decode_and_featurize(media, fake=False).collect()}
+
+    a = out["w1"]  # mono, 8 kHz, 400 frames (tools/make_media_fixtures.py)
+    assert (a["width"], a["height"], a["n_frames"]) == (1, 8000, 400)
+    # RMS envelope of a constant-amplitude 440 Hz sine at amp 30000:
+    # every bucket ~ 30000/sqrt(2)/32768 ~ 0.647
+    assert len(a["feature"]) == 8
+    assert all(abs(f - 30000 / 2**0.5 / 32768) < 0.01 for f in a["feature"])
+
+    p = out["p1"]  # 8x6 P6 with a comment line in the header
+    assert (p["width"], p["height"], p["n_frames"]) == (8, 6, 1)
+    # mean of the full raster: R ramps 0..224 (mean 112), G ramps 0..200
+    # (mean 100), B constant 8 -> overall mean (112+100+8)/3 / 255
+    exp = (112 + 100 + 8) / 3 / 255
+    got_mean = sum(p["feature"]) / len(p["feature"])
+    assert abs(got_mean - exp) < 0.005
+
+    # the seam still refuses formats the stdlib cannot parse
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        stdlib_decode(b"\x89PNG\r\n", "image")

@@ -156,3 +156,59 @@ def test_stateful_conversation_progress(spark, transcripts_pd, tmp_path):
     run_once()
     out2 = spark.read.parquet(out_dir).toPandas()
     assert int(out2[out2["conv_id"] == conv]["total_turns"].max()) == 2 * len(expected)
+
+def test_idle_conversation_state_eviction(spark, transcripts_pd, tmp_path):
+    """GroupStateTimeout idle eviction: a conversation receiving no data for
+    idle_timeout_ms is dropped at a later micro-batch — one final
+    evicted=True row carries its totals out — and a later reappearance of
+    the same conv_id starts counting from ZERO (state removed, not resumed).
+    Runs under a paced processingTime trigger: availableNow drains must not
+    use ProcessingTimeTimeout (see conversation_progress docstring)."""
+    import time
+
+    from otar3088_spark.streaming.ingest import read_transcript_stream
+    from otar3088_spark.streaming.stateful import conversation_progress
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    conv = "conv_000000"
+    n = len(transcripts_pd[transcripts_pd["conv_id"] == conv])
+
+    _write_batch(spark, transcripts_pd, input_dir, 0, 2)
+    stream = read_transcript_stream(spark, input_dir)
+    q = (
+        conversation_progress(stream, idle_timeout_ms=50)
+        .writeStream.format("memory")
+        .queryName("evict_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        def rows_where(pred, deadline=90.0):
+            t0 = time.time()
+            while time.time() - t0 < deadline:
+                rows = [
+                    r
+                    for r in spark.sql("SELECT * FROM evict_test").collect()
+                    if pred(r)
+                ]
+                if rows:
+                    return rows
+                time.sleep(0.5)
+            raise AssertionError("condition not reached before deadline")
+
+        rows_where(lambda r: r["conv_id"] == conv and not r["evicted"])
+        ev = rows_where(lambda r: r["conv_id"] == conv and r["evicted"])
+        # the tombstone carries the final pre-eviction totals
+        assert ev[0]["total_turns"] == n and ev[0]["batch_turns"] == 0
+        # the conversation reappears -> counters restart from zero
+        _write_batch(spark, transcripts_pd, input_dir, 0, 1)
+        again = rows_where(
+            lambda r: r["conv_id"] == conv and not r["evicted"]
+        )
+        totals = {r["total_turns"] for r in again}
+        assert n in totals and 2 * n not in totals  # state was removed
+    finally:
+        q.stop()

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Materialize the recorded-HF-NER output fixture:
+tests/fixtures/hf_ner_output.json.
+
+Pins the production model seam (inference.model_mentions ``scorer=`` ->
+link_model_mentions -> merge_spans_with_model) against output shaped exactly
+like a real HF token-classification pipeline with
+``aggregation_strategy="simple"`` (reference lineage: model_tests.ipynb
+cell 6; trial_to_papers.ipynb cells 11-12 run
+``pipeline("token-classification")`` and link the aggregated entities back to
+the entity dictionary): per-sentence entity dicts with ``entity_group``,
+softmax-like ``score``, ``word``, and CHARACTER ``start``/``end`` offsets
+into the raw sentence. Offsets are derived here from the committed sentence
+strings (same re-derivation discipline as the WordPiece contract fixture,
+tests/fixtures/hf_tokenizer_contract.json), so the artifact is internally
+consistent and fully reproducible; scores are fixed realistic confidence
+values. No runtime model dependency anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+OUT = Path(__file__).resolve().parents[1] / "tests" / "fixtures" / "hf_ner_output.json"
+
+# (sentence, [(word, entity_group, score), ...]) — word offsets resolved
+# below against the sentence string (first unclaimed occurrence).
+RECORDED: list[tuple[str, list[tuple[str, str, float]]]] = [
+    ("patients received aspirin after surgery and reported mild headaches.",
+     [("aspirin", "Drug", 0.9991), ("headaches", "AdverseEvent", 0.9873)]),
+    ("the HEK-293 cultures were transfected with the reporter construct.",
+     [("HEK-293", "CellLine", 0.9712)]),
+    ("HeLa proliferation slowed after paracetamol exposure.",
+     [("HeLa", "CellLine", 0.9954), ("paracetamol", "Drug", 0.9987)]),
+    ("acetylsalicylic-acid inhibits platelet aggregation in vivo.",
+     [("acetylsalicylic-acid", "Drug", 0.9348)]),
+    ("ibuprofen was the comparator arm in the bone marrow study.",
+     [("ibuprofen", "Drug", 0.9995), ("bone marrow", "Tissue", 0.8473)]),
+    ("severe nausea and vomiting occurred in two subjects.",
+     [("nausea", "AdverseEvent", 0.9642), ("vomiting", "AdverseEvent", 0.5117)]),
+    ("aspirin co-administration did not change jurkat viability.",
+     [("aspirin", "Drug", 0.9969), ("jurkat", "CellLine", 0.9136)]),
+]
+
+
+def main() -> None:
+    sentences = []
+    for i, (text, ents) in enumerate(RECORDED):
+        claimed = 0
+        entities = []
+        for word, group, score in ents:
+            start = text.index(word, claimed)
+            entities.append(
+                {
+                    "entity_group": group,
+                    "score": score,
+                    "word": word,
+                    "start": start,
+                    "end": start + len(word),
+                }
+            )
+            claimed = start + len(word)
+        sentences.append({"sent_idx": i, "text": text, "entities": entities})
+    payload = {
+        "format": "hf token-classification pipeline, aggregation_strategy=simple",
+        "sentences": sentences,
+    }
+    OUT.write_text(json.dumps(payload, indent=1) + "\n")
+    n = sum(len(s["entities"]) for s in sentences)
+    print(f"wrote {OUT} ({len(sentences)} sentences, {n} entities)")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
