@@ -173,6 +173,18 @@ def destem_expr(key: Column) -> Column:
 from otar3088_spark.functions.lemma_data import IRREGULAR_PLURALS  # noqa: F401
 
 
+def sql_str_array(strs) -> str:
+    """SQL snippet ``array('a','b',...)`` with backslash-escaped string
+    literals. Literal collections are built as ONE ``F.expr`` string parsed
+    JVM-side: the Column-API routes (per-element ``F.lit``, ``isin``, even
+    ``F.lit(list)``) each cost one py4j round-trip PER ELEMENT — measured
+    ~2s of driver time per tagging query for the ~150-entry override map."""
+    quoted = ", ".join(
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'" for s in strs
+    )
+    return f"array({quoted})"
+
+
 
 def lemma_expr(key: Column, overrides: dict[str, str] | None = None) -> Column:
     """F8 lemmatization of a lowercase match key: an irregular-form override
@@ -216,16 +228,27 @@ def norm_key_expr(key: Column, overrides: dict[str, str] | None = None) -> Colum
     compares ``window_lemmas == lemma_tokens``) restated over the engine's
     rule-based lemmatizer.
 
-    The override CASE chain makes this expression unsuitable for fused
-    per-token hot paths (conditional branches are excluded from codegen
-    subexpression elimination — measured 15-40% on the tagging stage, see
-    tagging.py). tag_mentions therefore evaluates it only on the broadcast
-    dictionary dim and on candidate windows, never per corpus token."""
+    The override map is embedded as a FLAT ``map_from_arrays`` literal
+    looked up with ``try_element_at`` — two foldable array literals that
+    constant-fold to one map literal — NOT as a nested ``CASE WHEN`` chain:
+    a 153-entry chain is a depth-153 expression tree that costs seconds of
+    driver-side Catalyst optimization per query (the same plan-size-not-
+    compute failure mode as the round-2 ANN index). Even so, this expression
+    is unsuitable for fused per-token hot paths (the conditional shape is
+    excluded from codegen subexpression elimination — measured 15-40% on the
+    tagging stage); tag_mentions evaluates it only on the broadcast
+    dictionary dim, never per corpus token."""
     ds = F.coalesce(destem_expr(key), key)
     if not overrides:
         return ds
-    chain = None
-    for k, v in sorted(overrides.items()):
-        chain = (F.when if chain is None else chain.when)(key == F.lit(k), F.lit(v))
-    vals = sorted(set(overrides.values()))
-    return chain.when(key.isin(vals), key).otherwise(ds)
+    items = sorted(overrides.items())
+    ovmap = F.expr(
+        f"map_from_arrays({sql_str_array(k for k, _ in items)}, "
+        f"{sql_str_array(v for _, v in items)})"
+    )
+    vals_arr = F.expr(sql_str_array(sorted(set(overrides.values()))))
+    return F.coalesce(
+        F.try_element_at(ovmap, key),
+        F.when(F.array_contains(vals_arr, key), key),
+        ds,
+    )

@@ -9,16 +9,16 @@ declarative join:
 
   1. tokenize each sentence by space on cleaned text; compute char offsets
      with an ``aggregate`` cumulative scan (per-row JVM, no shuffle);
-  2. explode tokens and derive ONE prenorm anchor key per token
-     (``coalesce(destem, key)`` — no conditionals, no struct allocation);
+  2. explode tokens and derive ONE raw anchor key per token (lower(core) —
+     no destem, no conditionals, no struct allocation);
   3. broadcast-join against the lemma-normalized dictionary blocked on the
-     term's FIRST normalized token (the 'token-blocked' key — blocks
-     candidate pairs to ~|dict-first-token| matches per token instead of
-     |dict| regex scans per sentence); irregular forms reach the join via
-     dim-side alias rows, never per-token conditionals;
-  4. validate the full n-token window with whole-window lemma equality
-     (``zip_with`` + ``forall`` over norm_key_expr) — still pure Catalyst
-     expressions, evaluated per candidate only;
+     term's allowed FIRST-position surface forms (the 'token-blocked' key —
+     blocks candidate pairs to ~|dict-first-token| matches per token instead
+     of |dict| regex scans per sentence); plural/possessive/irregular
+     variants are dim-side preimage rows, never per-token conditionals;
+  4. validate the full n-token window with whole-window lemma equality via
+     preimage membership (``zip_with`` + ``forall`` + ``array_contains``) —
+     still pure Catalyst expressions, evaluated per candidate only;
   5. longest-match containment dedup via a per-sentence array filter (one
      groupBy, no recomputation of the upstream DAG).
 
@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from otar3088_spark.functions.text import (
+    sql_str_array,
     destem_expr,
     norm_key_expr,
     offsets_expr,
@@ -86,6 +87,66 @@ def tokenize_sentences(sentences: DataFrame) -> DataFrame:
     return df.withColumn("keys_ds", F.transform(F.col("keys"), destem_expr))
 
 
+def _allowed_forms_expr(t, ov: dict[str, str]):
+    """Finite norm-PREIMAGE of a normalized dictionary token ``t``: the array
+    of corpus surface forms k with ``norm(k) == t`` (norm = override map /
+    override-value fixpoint / destem / identity — functions/text.py
+    norm_key_expr). Exactly:
+
+    * ``t`` itself, iff norm(t) == t (t is an override value, or destems to
+      NULL and is not an override key);
+    * the two destem preimages ``t+"s"`` (len >= 3 destem guard) and
+      ``t+"'s"`` — minus any form that is itself an override key or value
+      (those norm elsewhere);
+    * every irregular plural p with override[p] == t (inverse map).
+
+    Evaluated on the broadcast dim only: the override CASE chains here never
+    touch corpus rows."""
+    if not ov:
+        self_ok = destem_expr(t).isNull()
+        s_ok = F.length(t) >= 3
+        p_ok = F.lit(True)
+    else:
+        # ONE shared status-map literal (key -> 1, value -> 2) instead of
+        # four membership lists, and every literal collection is a single
+        # JVM-parsed F.expr string (sql_str_array) — the Column-API routes
+        # cost one py4j round-trip per element, ~2s of driver time per query
+        # at ~150 entries (plan-construction cost, not compute)
+        status_d = {v: 2 for v in ov.values()}
+        status_d.update({k: 1 for k in ov})  # a key-and-value string is a key
+        toks = sorted(status_d)
+        status = F.expr(
+            f"map_from_arrays({sql_str_array(toks)}, "
+            f"array({', '.join(str(status_d[x]) for x in toks)}))"
+        )
+        self_ok = (F.try_element_at(status, t) == 2) | (
+            destem_expr(t).isNull() & F.try_element_at(status, t).isNull()
+        )
+        s_ok = (F.length(t) >= 3) & F.try_element_at(
+            status, F.concat(t, F.lit("s"))
+        ).isNull()
+        p_ok = F.try_element_at(status, F.concat(t, F.lit("'s"))).isNull()
+    forms = F.array(
+        F.when(self_ok, t),
+        F.when(s_ok, F.concat(t, F.lit("s"))),
+        F.when(p_ok, F.concat(t, F.lit("'s"))),
+    )
+    inv: dict[str, list[str]] = {}
+    for k, v in ov.items():
+        inv.setdefault(v, []).append(k)
+    if inv:
+        invmap = F.expr(
+            "map_from_arrays("
+            f"{sql_str_array(sorted(inv))}, "
+            f"array({', '.join(sql_str_array(sorted(inv[v])) for v in sorted(inv))}))"
+        )
+        forms = F.concat(
+            forms,
+            F.coalesce(F.try_element_at(invmap, t), F.array().cast("array<string>")),
+        )
+    return F.array_distinct(F.filter(forms, lambda x: x.isNotNull()))
+
+
 def tag_mentions(
     sentences: DataFrame,
     dictionary: DataFrame,
@@ -108,26 +169,29 @@ def tag_mentions(
     models" matches dictionary "mouse model" — inflection on non-head tokens
     links exactly as in the reference.
     """
-    spark = dictionary.sparkSession
     ov = dict(lemma_overrides or {})
 
-    def _py_prenorm(k: str) -> str:
-        if k.endswith("'s") and len(k) > 2:
-            return k[:-2]
-        if k.endswith("s") and len(k) > 3:
-            return k[:-1]
-        return k
-
-    # --- dictionary-side normalization (dim work, off the hot path) ---------
+    # --- dictionary-side normalization + preimage enumeration ----------------
     # Every dictionary token is normalized with the FULL lemma function; rows
     # whose normalized token sequences collide within (ent_id, label) merge
     # to one row keeping the lexicographically smallest surface term
-    # (deterministic output). The override CASE chain runs only over the
-    # broadcast dim — measured round 2: even a one-entry conditional wrapped
-    # around destem in the fused per-token stage cost 15-40% of the whole
-    # pipeline (conditional branches are excluded from codegen subexpression
-    # elimination), so the per-token hot path below stays a bare
-    # coalesce(destem, key) with NO override/collision conditionals ever.
+    # (deterministic output). Then, PER POSITION, the finite norm-PREIMAGE is
+    # enumerated as an ``allowed`` surface-form array:
+    #
+    #   norm(k) == t  ⟺  k ∈ { t                 if norm(t) == t,
+    #                          t+"s"  (len>=3),  t+"'s"   — the two destem
+    #                                  preimages, minus override keys/values,
+    #                          every irregular plural p with override[p]==t }
+    #
+    # so window matching is plain set membership against <=5 literals — no
+    # normalization of corpus tokens ANYWHERE, not even destem. Round 2
+    # measured that any conditional around destem in the fused per-token
+    # stage costs 15-40% (codegen CSE excludes conditional branches); round
+    # 4 initially re-normalized per candidate window token, which
+    # interpreted the override CASE chain per (candidate x position) and
+    # cost 2x on the tagging stage. Enumerating the preimage on the
+    # broadcast dim removes both costs: the hot path is one lower(core)
+    # expression per token, and validation is array_contains on tiny arrays.
     d_norm = (
         dictionary.withColumn(
             "nd_tokens", F.transform(F.col("term_tokens"), lambda t: norm_key_expr(t, ov))
@@ -135,42 +199,15 @@ def tag_mentions(
         .groupBy("ent_id", "label", "nd_tokens")
         .agg(F.min("term").alias("term"))
         .withColumn("n", F.size("nd_tokens").cast("int"))
-        .withColumn("first_nd", F.element_at("nd_tokens", 1))
+        .withColumn(
+            "allowed",
+            F.transform(F.col("nd_tokens"), lambda t: _allowed_forms_expr(t, ov)),
+        )
     )
 
-    # --- anchor alias rows ---------------------------------------------------
-    # Stage 1 anchors on PRENORM(first corpus token) = coalesce(destem, key).
-    # For corpus tokens where prenorm != norm the dim grows alias rows whose
-    # join key is the prenorm form, so the anchor join stays a broadcast
-    # EQUI-join with zero hot-path conditionals:
-    #   (i)  override keys:    "mice"  -> alias first_tok "mice"  (prenorm of
-    #        an irregular plural is itself or its naive destem);
-    #   (ii) override values ending in s: corpus "metastasis" prenorms to
-    #        "metastasi" while the dict token stays "metastasis" — alias row
-    #        keyed by the prenorm form.
-    # The alias table is a pure-Python literal derived from the override map
-    # (<= 2|ov| rows) broadcast-joined to the dim: no driver probe of the
-    # dictionary at ANY dictionary size. Stage 2 re-validates position 1 with
-    # the full norm, so over-generated anchors (e.g. corpus "axe" hitting the
-    # alias of override "axes"->"axis") are rejected there — the round-2/3
-    # ``colliding`` suppression machinery is subsumed by construction.
-    alias_pairs = sorted(
-        {(_py_prenorm(k), v) for k, v in ov.items() if _py_prenorm(k) != v}
-        | {(_py_prenorm(v), v) for v in ov.values() if _py_prenorm(v) != v}
-    )
-    d0 = d_norm.withColumn("first_tok", F.col("first_nd"))
-    if alias_pairs:
-        al = F.broadcast(
-            spark.createDataFrame(alias_pairs, "alias_first string, nd_first string")
-        )
-        extra = (
-            d_norm.join(al, F.col("first_nd") == F.col("nd_first"))
-            .withColumn("first_tok", F.col("alias_first"))
-            .drop("alias_first", "nd_first")
-        )
-        d0 = d0.unionByName(extra.select(*d0.columns)).dropDuplicates(
-            ["ent_id", "label", "nd_tokens", "first_tok"]
-        )
+    # anchor join key: one dim row per allowed FIRST-position surface form
+    # (<=5 per term) — the broadcast equi-join key for raw corpus keys
+    d0 = d_norm.withColumn("first_tok", F.explode(F.element_at("allowed", 1)))
 
     # --- plan-time anchor IN-set --------------------------------------------
     # The dictionary is a broadcast dim by design, so collecting its distinct
@@ -188,20 +225,19 @@ def tag_mentions(
 
     # --- stage 1: anchor detection (allocation-lean) ------------------------
     # The hot path is ALLOCATION-BANDWIDTH bound, not CPU bound: explode bare
-    # tokens (ONE array per sentence), derive the single prenorm anchor key
-    # as a SCALAR expression per exploded row (whole-stage-codegen'd, no
-    # struct-array explode, no conditionals beyond destem itself), and filter
-    # to anchor hits before anything heavier exists.
+    # tokens (ONE array per sentence), derive the single RAW anchor key as a
+    # SCALAR expression per exploded row (whole-stage-codegen'd — no destem,
+    # no conditionals, no struct-array explode; all variant handling lives in
+    # the dim's exploded allowed-form rows), and filter to anchor hits before
+    # anything heavier exists.
     key3 = ["conv_id", "turn_idx", "sent_idx"]
     toks_df = sentences.select(
         *key3, F.posexplode(F.split(F.col("sent_text"), " ")).alias("pos0", "tok")
     )
-    keyed = toks_df.withColumn("key", F.lower(token_core_expr(F.col("tok")))).withColumn(
-        "akey", F.coalesce(destem_expr(F.col("key")), F.col("key"))
-    )
+    keyed = toks_df.withColumn("key", F.lower(token_core_expr(F.col("tok"))))
     if firsts is not None:
-        keyed = keyed.filter(F.col("akey").isin(firsts))
-    anchors = keyed.select(*key3, "pos0", F.col("akey").alias("anchor_key"))
+        keyed = keyed.filter(F.col("key").isin(firsts))
+    anchors = keyed.select(*key3, "pos0", F.col("key").alias("anchor_key"))
 
     d = F.broadcast(d0)
     cand = anchors.join(d, anchors["anchor_key"] == d["first_tok"], "inner")
@@ -219,12 +255,14 @@ def tag_mentions(
     window = F.slice(toks2, pos0 + 1, n)
     wkeys = F.transform(window, lambda t: F.lower(token_core_expr(t)))
     in_bounds = n <= (F.size(toks2) - pos0)
-    # whole-window norm equality; zip_with pads a short (out-of-bounds)
-    # window with NULL keys -> NULL comparison -> forall not TRUE, and the
-    # explicit in_bounds conjunct keeps the intent readable.
+    # whole-window lemma equality via preimage membership: each window key
+    # must be one of the <=5 allowed surface forms of its position. zip_with
+    # pads a short (out-of-bounds) window with NULL keys -> NULL membership
+    # -> forall not TRUE; the explicit in_bounds conjunct keeps the intent
+    # readable.
     all_ok = F.forall(
         F.zip_with(
-            wkeys, F.col("nd_tokens"), lambda w, dt: norm_key_expr(w, ov) == dt
+            wkeys, F.col("allowed"), lambda w, al: F.array_contains(al, w)
         ),
         lambda x: x,
     )
