@@ -35,31 +35,46 @@ def main() -> None:
     staging_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
     cases = [
-        ("2M uniform", 2_000_000, 0.0),
-        ("2M skew50 (half of all turns in ONE conversation)", 2_000_000, 0.5),
-        ("10M uniform", 10_000_000, 0.0),
+        ("2M uniform", 2_000_000, 0.0, 2),
+        ("2M skew50 (half of all turns in ONE conversation)", 2_000_000, 0.5, 2),
+        ("10M uniform", 10_000_000, 0.0, 2),
     ]
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_POINT_REPS", "2"))
+    # opt-in decade point (e.g. SPARK_GRAFT_SCALE_POINT_BIG=100000000):
+    # single rep — one warm-ish measurement of a ~half-hour job beats two
+    # cold ones, and the three standing points already quantify jitter
+    big = int(os.environ.get("SPARK_GRAFT_SCALE_POINT_BIG", "0"))
+    if big:
+        cases.append((f"{big // 1_000_000}M uniform", big, 0.0, 1))
+    reps_env = os.environ.get("SPARK_GRAFT_SCALE_POINT_REPS")
     rows = []
-    for name, n, skew in cases:
+    for name, n, skew, case_reps in cases:
+        reps = int(reps_env) if reps_env else case_reps
+        # partition sizing scales with the input: ~200k turns per salt
+        # partition and ~500k turns per shuffle partition keep task inputs
+        # bounded as n grows (on a real cluster these track executor count)
+        salt = max(cores * 2, n // 200_000)
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, n // 500_000)))
         t = transcripts_spark(spark, n, skew_frac=skew)
         best, triples = float("inf"), 0
         for _ in range(reps):
             staging = tempfile.mkdtemp(prefix="kg_sp_", dir=staging_root)
             t0 = time.perf_counter()
-            res = build_kg(t, d, salt_partitions=cores * 2, staging_dir=staging)
+            res = build_kg(t, d, salt_partitions=salt, staging_dir=staging)
             triples = res.triples.count()
             best = min(best, time.perf_counter() - t0)
             shutil.rmtree(staging, ignore_errors=True)
         rows.append((name, n, skew, best, n / best, triples))
         print(f"{name}: {best:.1f}s -> {n / best:,.0f} turns/s ({triples:,} triples)", flush=True)
+    spark.conf.set("spark.sql.shuffle.partitions", str(cores))
 
     out = Path(__file__).resolve().parent.parent / "BENCH" / "SCALE_POINTS.md"
     lines = [
         "# KG pipeline scale points + skew resilience",
         "",
-        f"Gazetteer path, staging snapshot, salt_partitions={cores * 2}, local[{cores}],",
-        f"best-of-{reps} warm runs per point (bimodal wall-clock box).",
+        f"Gazetteer path, staging snapshot, local[{cores}]; salt and shuffle",
+        "partitions scale with input (~200k / ~500k turns per partition).",
+        "Best-of-2 warm runs per point (single rep for the 100M decade point;",
+        "bimodal wall-clock box).",
         "",
         "| case | turns | skew_frac | sec | turns/sec | triples |",
         "|---|---|---|---|---|---|",
