@@ -97,6 +97,18 @@ def main() -> None:
         lines.append(f"| {sid} | {name} | {fmt_bytes(sw)} | {fmt_bytes(sr)} | {ntasks} |")
     lines += [
         "",
+        "### Reading the stage table",
+        "",
+        "Stage names are opaque local-mode lambda frames; by volume the pairs "
+        "are unambiguous: the largest write/read pair is the TRIPLE-DISTINCT "
+        "exchange, the next is the salted normalize repartition (cleaned turn "
+        "text), then the span-table groupBy (drop_contained + snapshot "
+        "input). Kilobyte-scale stages are dim-side jobs (dictionary norm, "
+        "anchor IN-set probe, cluster build) — constant in corpus size. "
+        "`input` bytes are ~0 because the corpus is range-GENERATED here; a "
+        "real parquet corpus adds a ~150-200 B/turn columnar scan "
+        "(embarrassingly parallel, no change to the shuffle budget).",
+        "",
         f"Totals: input {fmt_bytes(tot_in)}, shuffle write {fmt_bytes(tot_sw)}, "
         f"shuffle read {fmt_bytes(tot_sr)}, output {fmt_bytes(tot_out)}.",
         "",
