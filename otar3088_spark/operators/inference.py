@@ -303,7 +303,11 @@ def stand_in_subwords_expr(tokens_col, piece: int = 4):
     )
 
 
-def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFrame:
+def link_model_mentions(
+    model_spans: DataFrame,
+    dictionary: DataFrame,
+    lemma_overrides: dict[str, str] | None = None,
+) -> DataFrame:
     """Entity-link candidate generation for model-scored mentions — the
     north-star 'link-score disambiguation' stage (reference lineage:
     trial_to_papers.ipynb cells 11-12 link model spans back to the entity
@@ -311,9 +315,12 @@ def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFr
 
     Two-tier candidate generation, broadcast-joined in ONE pass:
 
-    * rank 0 — the exact gazetteer key (per-token punctuation core,
-      lowercase, plural/possessive destem on the last token —
-      functions/text.py); finds what the dictionary tagger finds.
+    * rank 0 — the whole-term LEMMA key: every token of BOTH the mention
+      surface and the dictionary term normalized with norm_key_expr
+      (override map / value fixpoint / destem / identity — the same
+      whole-window lemma semantics as the gazetteer tagger, so a model
+      mention "mice models" links dictionary "mouse model" exactly like the
+      reference's lemma-keyed term map, labelstudio_e2e.py:193-197).
     * rank 1 — the ALIAS key (canonicalize.alias_key_expr: drop generic type
       words, strip non-alphanumerics). This is what makes the model branch
       additive: a transformer-detected surface like "HEK-293" or
@@ -324,43 +331,36 @@ def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFr
 
     The span is re-offset to core extents so exact collisions with
     dictionary spans dedup cleanly. Candidates are disambiguated per
-    (span, label) by min (rank, ent_id) — exact-key links beat alias links,
+    (span, label) by min (rank, ent_id) — lemma-key links beat alias links,
     then the same min-ent pick drop_contained applies on the gazetteer path.
 
     JOIN SHAPE (the 100-TB-critical part): a naive OR-of-equalities join
-    condition (``key_exact = dict_key OR key_ds = dict_key OR akey =
-    dict_akey``) cannot be hash-partitioned and degenerates to a
+    condition cannot be hash-partitioned and degenerates to a
     BroadcastNestedLoopJoin — O(|mentions| × |dict|) predicate evaluations,
     catastrophic at 10⁹ mentions × 10⁶-term gazetteers. Instead both sides
-    are EXPLODED to ``(match_key, rank)`` candidate rows (mention: exact key
-    and destemmed key at rank 0, alias key at rank 1; dictionary: term-token
-    key at rank 0, alias key at rank 1) and equi-joined on the two columns —
-    a plain BroadcastHashJoin. The rank column both namespaces the keys
-    (exact keys never collide with alias keys) and feeds the same
-    min-(rank, ent_id) disambiguation, so a mention matching one dict row
-    through both tiers yields two candidate rows whose min is identical to
-    the old single rank-0 row. Output is provably unchanged; the plan is
-    hash-joinable and linear in candidates.
+    are EXPLODED to ``(match_key, rank)`` candidate rows (mention: lemma key
+    at rank 0, alias key at rank 1; dictionary: lemma term key at rank 0,
+    alias key at rank 1) and equi-joined on the two columns — a plain
+    BroadcastHashJoin. The rank column both namespaces the keys (lemma keys
+    never collide with alias keys) and feeds the same min-(rank, ent_id)
+    disambiguation. The plan is hash-joinable and linear in candidates.
     """
     from pyspark.sql import functions as F
 
     from otar3088_spark.functions.text import (
-        destem_expr,
+        norm_key_expr,
         token_core_expr,
         token_lead_expr,
     )
     from otar3088_spark.operators.canonicalize import alias_key_expr
 
+    ov = dict(lemma_overrides or {})
     toks = F.split(F.col("surface"), " ")
     cores = F.transform(toks, token_core_expr)
     leads = F.transform(toks, token_lead_expr)
     keys = F.transform(cores, F.lower)
-    n = F.size(toks)
-    key_exact = F.concat_ws(" ", keys)
-    ds_last = destem_expr(F.element_at(keys, -1))
-    key_ds = F.when(
-        ds_last.isNotNull(),
-        F.concat_ws(" ", F.concat(F.slice(keys, 1, n - 1), F.array(ds_last))),
+    key_nm = F.concat_ws(
+        " ", F.transform(keys, lambda k: norm_key_expr(k, ov))
     )
     lead1 = F.element_at(leads, 1)
     trail = (
@@ -374,8 +374,7 @@ def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFr
     surf_akey = alias_key_expr(F.regexp_replace(F.col("surface"), "[^A-Za-z0-9]+", " "))
     m = model_spans.select(
         "conv_id", "turn_idx", "sent_idx", "score",
-        key_exact.alias("key_exact"),
-        key_ds.alias("key_ds"),
+        key_nm.alias("key_nm"),
         surf_akey.alias("akey"),
         (F.col("start") + lead1).cast("int").alias("start"),
         (F.col("end") - trail).cast("int").alias("end"),
@@ -386,15 +385,13 @@ def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFr
         F.expr("substring(_surface_raw, _lead1 + 1, end - start)"),
     ).drop("_surface_raw", "_lead1")
 
-    # mention side: explode to (match_key, rank) candidate rows. Nulls
-    # (key_ds absent) and empty alias keys are filtered out; array_distinct
-    # collapses key_exact == key_ds so no duplicate candidates are minted.
+    # mention side: explode to (match_key, rank) candidate rows; empty alias
+    # keys are filtered out
     mk = F.explode(
         F.array_distinct(
             F.filter(
                 F.array(
-                    F.struct(F.col("key_exact").alias("k"), F.lit(0).alias("rank")),
-                    F.struct(F.col("key_ds").alias("k"), F.lit(0).alias("rank")),
+                    F.struct(F.col("key_nm").alias("k"), F.lit(0).alias("rank")),
                     F.struct(
                         F.when(F.length("akey") > 0, F.col("akey")).alias("k"),
                         F.lit(1).alias("rank"),
@@ -418,7 +415,13 @@ def link_model_mentions(model_spans: DataFrame, dictionary: DataFrame) -> DataFr
             F.filter(
                 F.array(
                     F.struct(
-                        F.concat_ws(" ", F.col("term_tokens")).alias("k"),
+                        F.concat_ws(
+                            " ",
+                            F.transform(
+                                F.col("term_tokens"),
+                                lambda t: norm_key_expr(t, ov),
+                            ),
+                        ).alias("k"),
                         F.lit(0).alias("rank"),
                     ),
                     F.struct(

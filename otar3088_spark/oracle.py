@@ -194,21 +194,20 @@ def _link_model_spans(
     mspans: list[tuple[int, int]],
     dict_by_key: dict[str, list[tuple]],
     dict_by_akey: dict[str, list[tuple]],
+    lemma_overrides: dict[str, str] | None = None,
 ) -> list[dict]:
-    """Mirror of link_model_mentions: gazetteer-key normalization of the
-    surface (rank 0: exact + last-token destem) plus alias-key fallback
-    (rank 1), core re-offset, min-(rank, ent_id) per (span, label)."""
+    """Mirror of link_model_mentions: whole-term lemma key (rank 0 — every
+    token of both surface and dictionary term normalized with norm_key) plus
+    alias-key fallback (rank 1), core re-offset, min-(rank, ent_id) per
+    (span, label)."""
     out = []
     for s, e in mspans:
         surface = sent[s:e]
         toks = surface.split(" ")
         lcs = [token_core(t) for t in toks]
         keys = [c.lower() for (_, c) in lcs]
-        key_exact = " ".join(keys)
-        ds = destem(keys[-1]) if keys else None
-        cands = [(0, *c) for c in dict_by_key.get(key_exact, [])]
-        if ds is not None:
-            cands += [(0, *c) for c in dict_by_key.get(" ".join(keys[:-1] + [ds]), [])]
+        key_nm = " ".join(norm_key(k, lemma_overrides) for k in keys)
+        cands = [(0, *c) for c in dict_by_key.get(key_nm, [])]
         akey = alias_key(re.sub(r"[^A-Za-z0-9]+", " ", surface))
         if akey:
             seen0 = {(ent, term, lab) for (_r, ent, term, lab) in cands}
@@ -257,14 +256,15 @@ def extract_spans(
     dict_rows = list(
         dn[["ent_id", "label", "term", "nd_tokens"]].itertuples(index=False, name=None)
     )
-    # the linker keys on RAW dictionary tokens (link_model_mentions operates
-    # on prepare_dictionary output, not the lemma-normalized tagging dim)
+    # linker rank-0 keys are whole-term LEMMA keys (every dictionary token
+    # normalized — mirror of link_model_mentions' normed dict explode)
     dict_by_key: dict[str, list[tuple]] = {}
     dict_by_akey: dict[str, list[tuple]] = {}
     for ent_id, label, term, term_tokens in d[
         ["ent_id", "label", "term", "term_tokens"]
     ].itertuples(index=False, name=None):
-        dict_by_key.setdefault(" ".join(term_tokens), []).append((ent_id, term, label))
+        nk = " ".join(norm_key(t, lemma_overrides) for t in term_tokens)
+        dict_by_key.setdefault(nk, []).append((ent_id, term, label))
         ak = alias_key(term)
         if ak:
             dict_by_akey.setdefault(ak, []).append((ent_id, term, label))
@@ -284,7 +284,8 @@ def extract_spans(
                 # merge_spans_with_model semantics
                 taken = {(a["start"], a["end"]) for a in kept}
                 linked = _link_model_spans(
-                    sent, model_spans_of(sent), dict_by_key, dict_by_akey
+                    sent, model_spans_of(sent), dict_by_key, dict_by_akey,
+                    lemma_overrides,
                 )
                 seen = set()
                 for m in linked:

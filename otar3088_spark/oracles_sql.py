@@ -358,32 +358,29 @@ def _kg_gazetteer_sql(max_n: int = 4, merged: bool = False) -> str:
     # merged path: replay the deterministic stand-in scorer (token length
     # >= 4, md5 first hex digit '0' — same md5 family as the model_mentions
     # oracle), the exploded-(match_key, rank) entity linking of
-    # link_model_mentions (rank 0 exact/destemmed key, rank 1 alias key;
-    # min-(rank, ent_id, term) per (span, label)), and the dictionary-
-    # precedence span merge of merge_spans_with_model.
+    # link_model_mentions (rank 0 = whole-term LEMMA key, both sides
+    # normalized token-by-token; rank 1 alias key; min-(rank, ent_id, term)
+    # per (span, label)), and the dictionary-precedence span merge of
+    # merge_spans_with_model.
     src = "merged" if merged else "spans"
     model_ctes = f""",
 mhits AS MATERIALIZED (
     SELECT conv_id, turn_idx, sent_idx,
            (rawstart + lead)::INT AS start,
            (rawstart + lead + corelen)::INT AS "end",
-           substr(tok, lead + 1, corelen) AS surface, key,
-           CASE WHEN key LIKE '%''s' AND length(key) > 2 THEN substr(key, 1, length(key) - 2)
-                WHEN key LIKE '%s' AND length(key) > 3 THEN substr(key, 1, length(key) - 1)
-           END AS key_ds,
+           substr(tok, lead + 1, corelen) AS surface, key_nm,
            {_akey_sql("regexp_replace(tok, '[^A-Za-z0-9]+', ' ', 'g')")} AS akey
     FROM ktok
     WHERE rawlen >= 4 AND substr(md5(lower(tok)), 1, 1) = '0'
 ),
 mkeys AS MATERIALIZED (
-    SELECT DISTINCT conv_id, turn_idx, sent_idx, start, "end", surface, key AS mkey, 0 AS rnk FROM mhits
-    UNION
-    SELECT DISTINCT conv_id, turn_idx, sent_idx, start, "end", surface, key_ds, 0 FROM mhits WHERE key_ds IS NOT NULL
+    SELECT DISTINCT conv_id, turn_idx, sent_idx, start, "end", surface, key_nm AS mkey, 0 AS rnk FROM mhits
     UNION
     SELECT DISTINCT conv_id, turn_idx, sent_idx, start, "end", surface, akey, 1 FROM mhits WHERE length(akey) > 0
 ),
 dkeys AS MATERIALIZED (
-    SELECT array_to_string(tt, ' ') AS dkey, 0 AS rnk, term, label, ent_id FROM dictn
+    SELECT array_to_string(list_transform(tt, t -> {_norm_case_sql("t")}), ' ') AS dkey,
+           0 AS rnk, term, label, ent_id FROM dictn
     UNION
     SELECT {_akey_sql('term')}, 1, term, label, ent_id FROM dictn
     WHERE length({_akey_sql('term')}) > 0

@@ -130,7 +130,9 @@ def build_kg(
         )
 
         model_sp = model_mentions(sentences, scorer=model_scorer)
-        linked = link_model_mentions(model_sp, dict_prepared)
+        linked = link_model_mentions(
+            model_sp, dict_prepared, lemma_overrides=lemma_overrides
+        )
         spans = merge_spans_with_model(spans, linked)
     if staging_dir is not None:
         # Stage boundary through the snapshot store: parquet data + atomic

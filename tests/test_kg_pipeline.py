@@ -400,6 +400,7 @@ def test_recorded_hf_ner_output_links(spark):
             ("L8", "jurkat", "CellLine", "C8"),
             ("L9", "jurkat", "CellType", "C8"),
             ("L10", "bone marrow stromal cell", "CellType", "C9"),
+            ("L11", "mouse model", "CellType", "C10"),
         ],
         columns=["ent_id", "term", "label", "canonical_id"],
     )
@@ -423,7 +424,9 @@ def test_recorded_hf_ner_output_links(spark):
         ]
         return (si, e["start"], e["end"])
 
-    linked = link_model_mentions(ms, d)
+    from otar3088_spark.functions.text import IRREGULAR_PLURALS
+
+    linked = link_model_mentions(ms, d, lemma_overrides=IRREGULAR_PLURALS)
     got = {
         (r["sent_idx"], r["start"], r["end"], r["term"], r["label"], r["ent_id"], r["surface"])
         for r in linked.collect()
@@ -440,10 +443,14 @@ def test_recorded_hf_ner_output_links(spark):
         (*span(6, "aspirin"), "aspirin", "Drug", "L1", "aspirin"),
         (*span(6, "jurkat"), "jurkat", "CellLine", "L8", "jurkat"),
         (*span(6, "jurkat"), "jurkat", "CellType", "L9", "jurkat"),
+        # whole-term lemma key: BOTH tokens inflected ("mice models" ->
+        # "mouse model"), reachable only through the round-4 linker semantics
+        (*span(7, "mice models"), "mouse model", "CellType", "L11", "mice models"),
+        (*span(7, "headaches"), "headache", "AdverseEvent", "L5", "headaches"),
     }
     assert got == want  # ibuprofen / vomiting / "bone marrow" correctly unlinked
 
-    gaz = tag_mentions(sents, d)
+    gaz = tag_mentions(sents, d, lemma_overrides=IRREGULAR_PLURALS)
     merged = merge_spans_with_model(gaz, linked)
     mset = {
         (r["sent_idx"], r["start"], r["end"], r["term"], r["label"], r["ent_id"])

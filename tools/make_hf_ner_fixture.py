@@ -42,6 +42,10 @@ RECORDED: list[tuple[str, list[tuple[str, str, float]]]] = [
      [("nausea", "AdverseEvent", 0.9642), ("vomiting", "AdverseEvent", 0.5117)]),
     ("aspirin co-administration did not change jurkat viability.",
      [("aspirin", "Drug", 0.9969), ("jurkat", "CellLine", 0.9136)]),
+    # both tokens inflected (irregular + regular plural): links "mouse model"
+    # only through the whole-term lemma key (round-4 linker semantics)
+    ("transgenic mice models developed severe headaches.",
+     [("mice models", "CellType", 0.8912), ("headaches", "AdverseEvent", 0.9447)]),
 ]
 
 
