@@ -85,3 +85,59 @@ def test_token_core_bounds(tok):
     assert 0 <= lead <= len(tok)
     assert len(core) <= len(tok) - lead
     assert tok[lead : lead + len(core)] == core
+
+
+def test_allowed_forms_is_exact_norm_preimage(spark):
+    """Duality pinning the round-4 tagging design: the dim-side preimage
+    enumeration (tagging._allowed_forms_expr) must be EXACTLY the preimage of
+    the total lemma normalization (oracle.norm_key == text.norm_key_expr):
+
+        k in allowed(t)  <=>  norm(k) == t
+
+    for every candidate surface form k of every dictionary-ish token t.
+    Checked exhaustively over a token universe covering the edge classes:
+    override keys/values, s-ending values ('metastasis'), destem fixpoints,
+    double-destemmables ('glass' -> 'glas' -> 'gla'), short tokens, override
+    keys that are destems of dictionary tokens ('axes'/'axe'), and possessive
+    forms. Also asserts the Spark norm_key_expr equals the pandas norm_key on
+    the same universe (expression/oracle parity)."""
+    from pyspark.sql import functions as F
+
+    from otar3088_spark.functions.text import IRREGULAR_PLURALS, norm_key_expr
+    from otar3088_spark.operators.tagging import _allowed_forms_expr
+
+    ov = IRREGULAR_PLURALS
+    base = [
+        "mouse", "mice", "mices", "mouse's", "mouses",
+        "metastasis", "metastases", "metastasiss", "metastasi",
+        "axe", "axes", "axe's", "axis",
+        "glass", "glas", "gla", "glass's",
+        "cell", "cells", "cell's", "t", "ts", "t's", "ab", "abs",
+        "nucleus", "nuclei", "nucleu", "basis", "basi", "bases",
+        "foot", "feet", "foots", "model", "models", "model's",
+    ]
+    universe = sorted(set(base) | set(list(ov)[:20]) | set(list(ov.values())[:20]))
+    targets = universe  # every token can appear as a normalized dict token
+
+    df = spark.createDataFrame([(t,) for t in targets], ["t"])
+    rows = df.select(
+        "t",
+        _allowed_forms_expr(F.col("t"), ov).alias("allowed"),
+        norm_key_expr(F.col("t"), ov).alias("nm"),
+    ).collect()
+    allowed = {r["t"]: set(r["allowed"]) for r in rows}
+    spark_norm = {r["t"]: r["nm"] for r in rows}
+
+    # expression == oracle normalization
+    for k in universe:
+        assert spark_norm[k] == oracle.norm_key(k, ov), k
+
+    # exact preimage duality over the full universe x targets cross product,
+    # extended with every enumerated form (so generated forms like t+"'s"
+    # are themselves round-tripped)
+    ks = sorted(set(universe) | {f for s in allowed.values() for f in s})
+    for t in targets:
+        for k in ks:
+            want = oracle.norm_key(k, ov) == t
+            got = k in allowed[t]
+            assert got == want, (k, t, sorted(allowed[t]))
