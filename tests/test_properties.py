@@ -141,3 +141,25 @@ def test_allowed_forms_is_exact_norm_preimage(spark):
             want = oracle.norm_key(k, ov) == t
             got = k in allowed[t]
             assert got == want, (k, t, sorted(allowed[t]))
+
+
+def test_norm_key_expr_escapes_quoted_overrides(spark):
+    """The JVM-parsed literal-array route (sql_str_array) must survive
+    override entries containing single quotes and backslashes — the exact
+    failure mode the round-3 ADVICE flagged for the DuckDB oracle's
+    unescaped literals."""
+    from pyspark.sql import functions as F
+
+    from otar3088_spark.functions.text import norm_key_expr
+
+    ov = {"o'briens": "o'brien", "x\\ys": "x\\y"}
+    df = spark.createDataFrame(
+        [("o'briens",), ("o'brien",), ("x\\ys",), ("plains",)], ["k"]
+    )
+    got = {r["k"]: r["nm"] for r in df.select("k", norm_key_expr(F.col("k"), ov).alias("nm")).collect()}
+    assert got == {
+        "o'briens": "o'brien",   # override key with quote
+        "o'brien": "o'brien",    # override value fixpoint (quote)
+        "x\\ys": "x\\y",         # backslash key
+        "plains": "plain",       # plain destem unaffected
+    }

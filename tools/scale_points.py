@@ -37,6 +37,7 @@ def main() -> None:
     cases = [
         ("2M uniform", 2_000_000, 0.0, 2),
         ("2M skew50 (half of all turns in ONE conversation)", 2_000_000, 0.5, 2),
+        ("2M skew90 (90% of all turns in ONE conversation)", 2_000_000, 0.9, 2),
         ("10M uniform", 10_000_000, 0.0, 2),
     ]
     # opt-in decade point (e.g. SPARK_GRAFT_SCALE_POINT_BIG=100000000):
