@@ -112,6 +112,10 @@ def stdlib_decode(payload: bytes, kind: str, dim: int = 8) -> tuple[int, int, in
                 pos += 1
             toks.append(int(t))
         width, height, maxval = toks
+        if maxval > 255:
+            # legal PPM with 2-byte samples — 6*w*h raster bytes; reading it
+            # as 1-byte samples would silently produce wrong features
+            raise NotImplementedError("only 1-byte-per-sample PPM (maxval <= 255) is supported stdlib-side")
         raster = payload[pos + 1 : pos + 1 + 3 * width * height]
         chunk = max(1, len(raster) // dim)
         feat = []

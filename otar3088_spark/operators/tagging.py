@@ -102,9 +102,14 @@ def _allowed_forms_expr(t, ov: dict[str, str]):
 
     Evaluated on the broadcast dim only: the override CASE chains here never
     touch corpus rows."""
+    # t+"s" is a destem preimage ONLY when t does not end in an apostrophe:
+    # for t = "farmers'" the form "farmers's" ends in 's and destems to
+    # "farmers" != t, so admitting it would tag a surface the norm_key
+    # comparison rejects (exact-preimage duality, test_properties.py).
+    no_apos = ~t.endswith("'")
     if not ov:
         self_ok = destem_expr(t).isNull()
-        s_ok = F.length(t) >= 3
+        s_ok = (F.length(t) >= 3) & no_apos
         p_ok = F.lit(True)
     else:
         # ONE shared status-map literal (key -> 1, value -> 2) instead of
@@ -122,9 +127,11 @@ def _allowed_forms_expr(t, ov: dict[str, str]):
         self_ok = (F.try_element_at(status, t) == 2) | (
             destem_expr(t).isNull() & F.try_element_at(status, t).isNull()
         )
-        s_ok = (F.length(t) >= 3) & F.try_element_at(
-            status, F.concat(t, F.lit("s"))
-        ).isNull()
+        s_ok = (
+            (F.length(t) >= 3)
+            & no_apos
+            & F.try_element_at(status, F.concat(t, F.lit("s"))).isNull()
+        )
         p_ok = F.try_element_at(status, F.concat(t, F.lit("'s"))).isNull()
     forms = F.array(
         F.when(self_ok, t),

@@ -713,3 +713,8 @@ def test_stdlib_media_codecs_decode_real_bytes(spark):
 
     with _pytest.raises(NotImplementedError):
         stdlib_decode(b"\x89PNG\r\n", "image")
+    # 16-bit PPM (maxval > 255, 2 bytes/sample) must hit the seam, not be
+    # silently misread as 1-byte samples (round-5 ADVICE fix)
+    ppm16 = b"P6\n2 2\n65535\n" + bytes(24)
+    with _pytest.raises(NotImplementedError):
+        stdlib_decode(ppm16, "image")

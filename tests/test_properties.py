@@ -115,6 +115,9 @@ def test_allowed_forms_is_exact_norm_preimage(spark):
         "cell", "cells", "cell's", "t", "ts", "t's", "ab", "abs",
         "nucleus", "nuclei", "nucleu", "basis", "basi", "bases",
         "foot", "feet", "foots", "model", "models", "model's",
+        # apostrophe-final tokens: t+"s" ends in 's and destems to a
+        # DIFFERENT token, so it must NOT be enumerated as a preimage of t
+        "farmers'", "farmers's", "o'", "cells'",
     ]
     universe = sorted(set(base) | set(list(ov)[:20]) | set(list(ov.values())[:20]))
     targets = universe  # every token can appear as a normalized dict token
