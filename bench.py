@@ -25,6 +25,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 DEFAULT_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
 
+# Healthy-box reference for the control query (best-of-3, sf0.1, local[32],
+# warm session): measured 0.72-0.89s across rounds 3-5; the committed
+# reference is the midpoint. Only comparable at the default bench sf.
+CONTROL_QUERY = "pricing_summary"
+CONTROL_REF_SEC = 0.80
+CONTROL_REF_SF = 0.1
+
 
 def materialize(df) -> int:
     df.write.mode("overwrite").format("noop").save()
@@ -52,6 +59,29 @@ def run_bench(
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
 
     timings: dict[str, float] = {}
+
+    # --- box-state control (round-5 verdict task 4) -------------------------
+    # This box's wall-clock is bimodal between sessions (2-3x swings on
+    # identical input). Run a fixed, plan-stable control query FIRST and
+    # record its ratio vs a committed healthy-box reference, so a slow
+    # window is visible INSIDE the bench record instead of needing
+    # cross-session forensics. box_factor ~1 = healthy; >>1 = degraded
+    # session, read absolute numbers with that factor in mind.
+    control: dict[str, float] = {}
+    if sf == CONTROL_REF_SF:
+        from otar3088_spark.queries import QUERIES as _Q
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(_Q[CONTROL_QUERY](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        control = {
+            "control_query": CONTROL_QUERY,
+            "control_sec": round(best, 3),
+            "control_ref_sec": CONTROL_REF_SEC,
+            "box_factor": round(best / CONTROL_REF_SEC, 2),
+        }
 
     if only in (None, "queries"):
         from otar3088_spark.queries import QUERIES
@@ -125,6 +155,7 @@ def run_bench(
         "cores": cores,
         "repeat": repeat,
         "kg": kg,
+        **control,
     }
 
 

@@ -99,3 +99,57 @@ class SnapshotStore:
         df = compute()
         self.write(df, stage, mode="overwrite")
         return self.read(spark, stage)
+
+
+def iceberg_catalog_configured(spark: SparkSession) -> bool:
+    """True iff the session has an Iceberg catalog registered
+    (``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``).
+    Config-based, so it is decidable without touching the classpath."""
+    return any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+        for k, v in spark.sparkContext.getConf().getAll()
+    )
+
+
+def write_iceberg(
+    df: DataFrame,
+    table: str,
+    mode: str = "replace_partitions",
+    bucket_conv_id: int | None = 64,
+) -> None:
+    """Production sink seam: write a stage to an Iceberg table via the V2
+    ``writeTo`` API. Modes map 1:1 onto SnapshotStore's manifest semantics —
+    the full correspondence is documented in BENCH/ICEBERG_READINESS.md:
+
+    * ``replace_partitions`` → ``overwritePartitions()`` (dynamic overwrite;
+      SnapshotStore ``write(mode="overwrite")`` of a stage dir),
+    * ``append`` → ``append()``,
+    * ``create_or_replace`` → ``createOrReplace()`` (first commit of a stage).
+
+    ``bucket_conv_id`` applies Iceberg hidden partitioning
+    ``bucket(N, conv_id)`` — the cluster-side analogue of the engine's salted
+    ``repartition(conv_id, turn_idx)``: co-locates a conversation's turns
+    without exposing a physical partition column.
+
+    In this sandbox there are no Iceberg runtime jars, so calling this
+    without a configured catalog raises NotImplementedError and pipelines use
+    SnapshotStore (same contract over parquet + atomic manifest). On a real
+    cluster the builder chain below is the entire integration surface.
+    """
+    if mode not in ("replace_partitions", "append", "create_or_replace"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    spark = df.sparkSession
+    if not iceberg_catalog_configured(spark):
+        raise NotImplementedError(
+            "no Iceberg catalog configured in this session; use SnapshotStore "
+            "(same snapshot/resume contract — see BENCH/ICEBERG_READINESS.md)"
+        )
+    writer = df.writeTo(table)
+    if bucket_conv_id:
+        writer = writer.partitionedBy(F.bucket(bucket_conv_id, F.col("conv_id")))
+    if mode == "replace_partitions":
+        writer.overwritePartitions()
+    elif mode == "append":
+        writer.append()
+    else:
+        writer.createOrReplace()

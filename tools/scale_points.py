@@ -40,6 +40,16 @@ def main() -> None:
         ("2M skew90 (90% of all turns in ONE conversation)", 2_000_000, 0.9, 2),
         ("10M uniform", 10_000_000, 0.0, 2),
     ]
+    # model-path suite (round-5 verdict task 2): the north-star MERGED path
+    # (gazetteer + mapInPandas model scoring + entity linking) at scale.
+    # Opt-in; prints rows only (SCALE_POINTS.md's model section is curated
+    # by hand alongside the gazetteer table).
+    use_model = bool(int(os.environ.get("SPARK_GRAFT_SCALE_POINT_MODEL", "0")))
+    if use_model:
+        cases = [
+            ("2M uniform (merged model path)", 2_000_000, 0.0, 2),
+            ("10M uniform (merged model path)", 10_000_000, 0.0, 1),
+        ]
     # opt-in decade point (e.g. SPARK_GRAFT_SCALE_POINT_BIG=100000000):
     # single rep — one warm-ish measurement of a ~half-hour job beats two
     # cold ones, and the three standing points already quantify jitter
@@ -60,13 +70,17 @@ def main() -> None:
         for _ in range(reps):
             staging = tempfile.mkdtemp(prefix="kg_sp_", dir=staging_root)
             t0 = time.perf_counter()
-            res = build_kg(t, d, salt_partitions=salt, staging_dir=staging)
+            res = build_kg(
+                t, d, salt_partitions=salt, staging_dir=staging, use_model=use_model
+            )
             triples = res.triples.count()
             best = min(best, time.perf_counter() - t0)
             shutil.rmtree(staging, ignore_errors=True)
         rows.append((name, n, skew, best, n / best, triples))
         print(f"{name}: {best:.1f}s -> {n / best:,.0f} turns/s ({triples:,} triples)", flush=True)
     spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    if use_model:
+        return  # printed rows only; md table is curated by hand
 
     out = Path(__file__).resolve().parent.parent / "BENCH" / "SCALE_POINTS.md"
     lines = [
