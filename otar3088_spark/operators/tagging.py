@@ -193,6 +193,7 @@ def tag_mentions(
     dictionary: DataFrame,
     max_prefilter_terms: int = 50_000,
     lemma_overrides: dict[str, str] | None = None,
+    precompute_offsets: bool = False,
 ) -> DataFrame:
     """Detect dictionary mentions in sentences; returns one row per span.
 
@@ -220,7 +221,7 @@ def tag_mentions(
     if hit is not None and hit[0] is dictionary:
         _ANCHOR_MEMO.move_to_end(mkey)
         d0, firsts = hit[1], hit[2]
-        return _tag_with_dim(sentences, d0, firsts)
+        return _tag_with_dim(sentences, d0, firsts, precompute_offsets)
 
     # --- dictionary-side normalization + preimage enumeration ----------------
     # Every dictionary token is normalized with the FULL lemma function; rows
@@ -277,11 +278,14 @@ def tag_mentions(
     _ANCHOR_MEMO[mkey] = (dictionary, d0, firsts)
     while len(_ANCHOR_MEMO) > _MEMO_MAX:
         _ANCHOR_MEMO.popitem(last=False)
-    return _tag_with_dim(sentences, d0, firsts)
+    return _tag_with_dim(sentences, d0, firsts, precompute_offsets)
 
 
 def _tag_with_dim(
-    sentences: DataFrame, d0: DataFrame, firsts: list[str] | None
+    sentences: DataFrame,
+    d0: DataFrame,
+    firsts: list[str] | None,
+    precompute_offsets: bool = False,
 ) -> DataFrame:
     """Corpus side of tag_mentions: anchor detection, window validation and
     containment dedup against an already-prepared (possibly memoized)
@@ -311,10 +315,28 @@ def _tag_with_dim(
     # clusters every sentence key), so this is a co-partitioned join — no new
     # shuffle. Candidates are ~O(dictionary hit rate) per sentence, so the
     # full-norm window comparison below runs per CANDIDATE, not per token.
-    withs = cand.join(sentences.select(*key3, "sent_text"), key3, "inner")
+    #
+    # Two offset formulations with opposite scaling (round-5 long-document
+    # stress, BENCH/TAGGING_STRESS.md):
+    # * default (short sentences, sparse candidates — the KG path): re-split
+    #   per candidate + O(pos) prefix fold. No per-sentence array
+    #   allocations; cheapest when candidates/sentence is low and sentences
+    #   are short (allocation bandwidth is this box's wall).
+    # * precompute_offsets=True (whole documents as single sentences): token
+    #   + offset arrays are computed ONCE per sentence on the join's
+    #   sentence side, and every per-candidate expression becomes O(window)
+    #   via element_at — total work linear in corpus size instead of
+    #   candidates x doc-length (quadratic in doc length when candidate
+    #   density is per-token).
+    sent_proj = sentences.select(*key3, "sent_text")
+    if precompute_offsets:
+        sent_proj = sent_proj.withColumn(
+            "_toks", F.split(F.col("sent_text"), " ")
+        ).withColumn("_starts", offsets_expr(F.col("_toks")))
+    withs = cand.join(sent_proj, key3, "inner")
 
     n, pos0 = F.col("n"), F.col("pos0")
-    toks2 = F.split(F.col("sent_text"), " ")
+    toks2 = F.col("_toks") if precompute_offsets else F.split(F.col("sent_text"), " ")
     window = F.slice(toks2, pos0 + 1, n)
     wkeys = F.transform(window, lambda t: F.lower(token_core_expr(t)))
     in_bounds = n <= (F.size(toks2) - pos0)
@@ -332,19 +354,29 @@ def _tag_with_dim(
     match = in_bounds & F.coalesce(all_ok, F.lit(False))
     j = withs.withColumn("_w", window).filter(match)
 
-    # offsets: start of token pos0 = sum(len+1) over preceding tokens —
-    # an O(pos) fold over a slice, no offsets array materialized.
-    prefix_len = F.aggregate(
-        F.slice(toks2, 1, pos0), F.lit(0), lambda acc, t: acc + F.length(t) + 1
-    )
+    if precompute_offsets:
+        # O(1) per candidate: both char anchors are lookups into the
+        # per-sentence offsets array (try_element_at: Catalyst may evaluate
+        # projections under reordered/pushed predicates, round-1 lesson)
+        prefix_len = F.coalesce(F.try_element_at(F.col("_starts"), pos0 + 1), F.lit(0))
+        win_prefix = (
+            F.coalesce(F.try_element_at(F.col("_starts"), pos0 + n), F.lit(0))
+            - prefix_len
+        )
+    else:
+        # offsets: start of token pos0 = sum(len+1) over preceding tokens —
+        # an O(pos) fold over a slice, no offsets array materialized.
+        prefix_len = F.aggregate(
+            F.slice(toks2, 1, pos0), F.lit(0), lambda acc, t: acc + F.length(t) + 1
+        )
+        # char length of the window = joined length of its tokens
+        win_prefix = F.aggregate(
+            F.slice(F.col("_w"), 1, n - 1), F.lit(0), lambda acc, t: acc + F.length(t) + 1
+        )
     first_tok = F.element_at("_w", 1)
     last_tok = F.try_element_at(F.col("_w"), n)
     lead1 = token_lead_expr(first_tok)
     lead_n = token_lead_expr(last_tok)
-    # char length of the window = joined length of its tokens
-    win_prefix = F.aggregate(
-        F.slice(F.col("_w"), 1, n - 1), F.lit(0), lambda acc, t: acc + F.length(t) + 1
-    )
     start = (prefix_len + lead1).cast("int")
     end = (prefix_len + win_prefix + lead_n + F.length(token_core_expr(last_tok))).cast("int")
     # surface from the joined window tokens (single spaces by clean_text)

@@ -313,7 +313,12 @@ def q_term_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("sent_idx"),
         F.col("text").alias("sent_text"),
     )
-    spans = tag_mentions(d, prepare_dictionary(_doc_dict_df(spark)))
+    # whole documents as single sentences -> the per-sentence offsets-array
+    # formulation (linear in doc length; the per-candidate fold is quadratic
+    # on long docs and slower even at 54-token docs — BENCH/TAGGING_STRESS.md)
+    spans = tag_mentions(
+        d, prepare_dictionary(_doc_dict_df(spark)), precompute_offsets=True
+    )
     return spans.select(
         F.col("conv_id").cast("bigint").alias("doc_id"),
         "start",

@@ -564,3 +564,16 @@ def test_tagging_dim_memoization_identity_semantics(spark):
     assert d2 is not d1
     tagging.tag_mentions(sents, d2, lemma_overrides=ov).collect()
     assert len(tagging._ANCHOR_MEMO) == 3
+
+
+def test_precompute_offsets_path_is_identical(spark, transcripts_df, dictionary_df):
+    """The two stage-2 offset formulations (per-candidate O(pos) fold vs
+    per-sentence offsets array + O(1) element_at — BENCH/TAGGING_STRESS.md)
+    must be bit-identical on the differential fixture corpus; they differ
+    only in scaling shape vs document length."""
+    sents = sentencize(normalize_turns(transcripts_df))
+    d = prepare_dictionary(dictionary_df)
+    fold = {tuple(r) for r in tag_mentions(sents, d).collect()}
+    pre = {tuple(r) for r in tag_mentions(sents, d, precompute_offsets=True).collect()}
+    assert len(fold) > 100
+    assert fold == pre

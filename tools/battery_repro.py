@@ -108,7 +108,9 @@ def main() -> None:
                 F.col("text").alias("sent_text"),
             )
             s = time.perf_counter()
-            spans = tag_mentions(d, ddf)
+            # match the shipped query's stage-2 formulation (queries.py
+            # passes precompute_offsets=True for whole-document sentences)
+            spans = tag_mentions(d, ddf, precompute_offsets=True)
             t_full_build = time.perf_counter() - s
             s = time.perf_counter()
             mat(spans)

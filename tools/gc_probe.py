@@ -34,8 +34,15 @@ CONFIGS: dict[str, tuple[str, str]] = {
     # let G1 trade pause goal for throughput (default goal is 200ms)
     "48g-pause1s": ("48g", "-XX:MaxGCPauseMillis=1000"),
     # cap the young gen at the 8g-equivalent absolute size: if the collapse
-    # is young-copy volume (not region size), this recovers throughput
-    "48g-young25": ("48g", "-XX:G1MaxNewSizePercent=25"),
+    # is young-volume / allocation-locality (not region size), this recovers
+    # throughput (experimental flag needs the unlock)
+    "48g-young25": (
+        "48g",
+        "-XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=25",
+    ),
+    # no concurrent phases at all: if ParallelGC at 48g recovers, the cost
+    # is G1's concurrent cycles competing for DRAM bandwidth, not heap size
+    "48g-parallel": ("48g", "-XX:+UseParallelGC"),
 }
 
 WORKER = r"""

@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--which", choices=["longdoc", "dictskew", "both"], default="both")
+    ap.add_argument("--precompute", action="store_true",
+                    help="use the per-sentence offsets-array stage-2 path")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -67,7 +69,7 @@ def main() -> None:
         base_sec = None
         for k in (1, 4, 10):
             c = corpus(k)
-            spans = tag_mentions(c, d)
+            spans = tag_mentions(c, d, precompute_offsets=args.precompute)
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.perf_counter()
@@ -96,7 +98,7 @@ def main() -> None:
                 terms, ["ent_id", "term", "label"]
             ).withColumn("canonical_id", F.col("ent_id"))
             d = prepare_dictionary(dd)
-            spans = tag_mentions(c, d)
+            spans = tag_mentions(c, d, precompute_offsets=args.precompute)
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.perf_counter()
