@@ -59,9 +59,16 @@ def get_spark(
         #     LARGEST classes (the fused tagging stage) on every re-entry.
         #     Compiled classes are tiny next to the heap; 10x the cache. ---
         .config("spark.sql.codegen.cache.maxEntries", "1000")
-        # local mode: driver heap IS the executor heap. Measured on this
-        # workload: 8g beats 48g by 25-40% at local[32] (GC ergonomics — a
-        # huge heap lengthens young-gen pauses without reducing pressure).
+        # local mode: driver heap IS the executor heap. Runtime contract
+        # (probed, BENCH/GC_PROBE.md): job wall scales MONOTONICALLY with
+        # committed heap on this box (10M-turn KG job: 8g=238s, 16g=438s,
+        # 48g=634s) with a small GC budget throughout — a mutator-locality
+        # footprint tax (Spark sets -Xms=-Xmx; G1 spreads the allocation
+        # arena over the whole range), not a GC policy artifact: region
+        # size, pause goal, young-gen caps, ParallelGC and THP all measure
+        # WORSE at 48g (THP 2.6x worse; never enable it here). Size the
+        # heap to the working set (8g); fix memory pressure with more
+        # partitions, not more heap.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

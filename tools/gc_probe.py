@@ -43,6 +43,20 @@ CONFIGS: dict[str, tuple[str, str]] = {
     # no concurrent phases at all: if ParallelGC at 48g recovers, the cost
     # is G1's concurrent cycles competing for DRAM bandwidth, not heap size
     "48g-parallel": ("48g", "-XX:+UseParallelGC"),
+    # sizing curve: is the degradation a cliff or monotonic in heap size?
+    "16g-default": ("16g", ""),
+    # young arena forced BELOW the 8g config's (~2.4g vs up to 4.8g): if the
+    # mutator slowdown persists even here, the cost scales with TOTAL heap
+    # footprint, not the allocation arena
+    "48g-young5": (
+        "48g",
+        "-XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=5",
+    ),
+    # TLB-reach discriminator: back the heap with 2m pages (THP is madvise
+    # on this box). If 48g+THP recovers toward 8g, the collapse is page-walk
+    # cost over a 4k-paged multi-10GB heap, not GC policy at all
+    "48g-thp": ("48g", "-XX:+UseTransparentHugePages"),
+    "8g-thp": ("8g", "-XX:+UseTransparentHugePages"),
 }
 
 WORKER = r"""
