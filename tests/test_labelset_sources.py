@@ -308,3 +308,60 @@ def test_strip_xml_expr(spark):
     df = spark.createDataFrame([(xml,)], ["raw"])
     got = df.select(strip_xml_expr(F.col("raw")).alias("t")).collect()[0]["t"]
     assert got == "Results HeLa cells grew fast. Second sentence here."
+
+
+def test_hf_dataset_sink_roundtrip(spark, tmp_path):
+    """K5 sink: hub-layout shards + dataset card, read-back parity, split
+    merge, and the gated push seam."""
+    import pytest
+
+    from otar3088_spark.sources.hf_dataset import (
+        push_to_hub,
+        read_hf_dataset,
+        write_hf_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", [1.0, 2.0]), (2, "beta", [3.0]), (3, "gamma", [])],
+        ["doc_id", "text", "vec"],
+    )
+    out = tmp_path / "ds"
+    shards = write_hf_dataset(df, str(out), split="train", num_shards=2)
+    assert shards == [
+        "data/train-00000-of-00002.parquet",
+        "data/train-00001-of-00002.parquet",
+    ]
+    assert sorted(p.name for p in (out / "data").iterdir()) == [
+        "train-00000-of-00002.parquet",
+        "train-00001-of-00002.parquet",
+    ]
+
+    card = (out / "README.md").read_text()
+    assert card.startswith("---\n")
+    for needle in (
+        "- name: doc_id",
+        "  dtype: int64",
+        "- name: text",
+        "  dtype: string",
+        "- name: vec",
+        "  sequence: float64",
+        "- name: train",
+        "num_examples: 3",
+        "path: data/train-*",
+    ):
+        assert needle in card, needle
+
+    back = read_hf_dataset(spark, str(out), "train")
+    assert back.schema == df.schema
+    assert sorted(r["text"] for r in back.collect()) == ["alpha", "beta", "gamma"]
+
+    # a second split extends the card instead of clobbering the first
+    write_hf_dataset(df.limit(1), str(out), split="validation", num_shards=1)
+    card2 = (out / "README.md").read_text()
+    assert "- name: train" in card2 and "- name: validation" in card2
+    assert "num_examples: 3" in card2 and "num_examples: 1" in card2
+    assert (out / "data" / "validation-00000-of-00001.parquet").exists()
+    assert read_hf_dataset(spark, str(out), "train").count() == 3
+
+    with pytest.raises(NotImplementedError, match="hub layout"):
+        push_to_hub(str(out), "org/repo")
