@@ -194,6 +194,7 @@ def tag_mentions(
     max_prefilter_terms: int = 50_000,
     lemma_overrides: dict[str, str] | None = None,
     precompute_offsets: bool = False,
+    bigram_anchor: bool = False,
 ) -> DataFrame:
     """Detect dictionary mentions in sentences; returns one row per span.
 
@@ -210,18 +211,32 @@ def tag_mentions(
     rule destem / identity (functions/text.py norm_key_expr). So "mice
     models" matches dictionary "mouse model" — inflection on non-head tokens
     links exactly as in the reference.
+
+    ``bigram_anchor=True`` switches the candidate-blocking key from the
+    term's first allowed surface form to the (first, second) allowed PAIR
+    for n>=2 terms (n==1 terms keep the unigram anchor) — the escape hatch
+    for skewed gazetteers where thousands of multi-token terms share one
+    corpus-frequent first token (BENCH/TAGGING_STRESS.md §2: candidate
+    volume is |anchor occurrences| x |terms on the anchor| under unigram
+    blocking, but collapses to true bigram matches under pair blocking).
+    It costs one per-sentence keys array + 2x exploded anchor rows on the
+    corpus side, which the reference-shaped gazetteers (<=5k entities/type)
+    never repay — hence opt-in, identical output by construction (window
+    validation is unchanged; pinned by
+    ``test_bigram_anchor_path_is_identical``).
     """
     ov = dict(lemma_overrides or {})
 
-    # memo hit: same dictionary object + same overrides + same cap means the
-    # dim subplan AND the plan-time anchor IN-set are byte-identical — skip
-    # straight to the corpus-side plan (see _ANCHOR_MEMO note above)
-    mkey = (id(dictionary), tuple(sorted(ov.items())), max_prefilter_terms)
+    # memo hit: same dictionary object + same overrides + same cap + same
+    # anchor mode means the dim subplan AND the plan-time anchor IN-set are
+    # byte-identical — skip straight to the corpus-side plan (see
+    # _ANCHOR_MEMO note above)
+    mkey = (id(dictionary), tuple(sorted(ov.items())), max_prefilter_terms, bigram_anchor)
     hit = _ANCHOR_MEMO.get(mkey)
     if hit is not None and hit[0] is dictionary:
         _ANCHOR_MEMO.move_to_end(mkey)
         d0, firsts = hit[1], hit[2]
-        return _tag_with_dim(sentences, d0, firsts, precompute_offsets)
+        return _tag_with_dim(sentences, d0, firsts, precompute_offsets, bigram_anchor)
 
     # --- dictionary-side normalization + preimage enumeration ----------------
     # Every dictionary token is normalized with the FULL lemma function; rows
@@ -258,8 +273,26 @@ def tag_mentions(
     )
 
     # anchor join key: one dim row per allowed FIRST-position surface form
-    # (<=5 per term) — the broadcast equi-join key for raw corpus keys
-    d0 = d_norm.withColumn("first_tok", F.explode(F.element_at("allowed", 1)))
+    # (<=5 per term) — the broadcast equi-join key for raw corpus keys.
+    # Bigram mode: n>=2 terms key on every (first, second) allowed pair
+    # (<=25 per term) joined by one space — corpus tokens are split ON
+    # space, so pair keys and unigram keys can never collide.
+    if bigram_anchor:
+        pair_keys = F.flatten(
+            F.transform(
+                F.element_at("allowed", 1),
+                lambda f1: F.transform(
+                    F.element_at(F.col("allowed"), 2),
+                    lambda f2: F.concat(f1, F.lit(" "), f2),
+                ),
+            )
+        )
+        anchor_keys = F.when(F.col("n") >= 2, pair_keys).otherwise(
+            F.element_at("allowed", 1)
+        )
+    else:
+        anchor_keys = F.element_at("allowed", 1)
+    d0 = d_norm.withColumn("first_tok", F.explode(anchor_keys))
 
     # --- plan-time anchor IN-set --------------------------------------------
     # The dictionary is a broadcast dim by design, so collecting its distinct
@@ -278,7 +311,7 @@ def tag_mentions(
     _ANCHOR_MEMO[mkey] = (dictionary, d0, firsts)
     while len(_ANCHOR_MEMO) > _MEMO_MAX:
         _ANCHOR_MEMO.popitem(last=False)
-    return _tag_with_dim(sentences, d0, firsts, precompute_offsets)
+    return _tag_with_dim(sentences, d0, firsts, precompute_offsets, bigram_anchor)
 
 
 def _tag_with_dim(
@@ -286,6 +319,7 @@ def _tag_with_dim(
     d0: DataFrame,
     firsts: list[str] | None,
     precompute_offsets: bool = False,
+    bigram_anchor: bool = False,
 ) -> DataFrame:
     """Corpus side of tag_mentions: anchor detection, window validation and
     containment dedup against an already-prepared (possibly memoized)
@@ -298,10 +332,43 @@ def _tag_with_dim(
     # the dim's exploded allowed-form rows), and filter to anchor hits before
     # anything heavier exists.
     key3 = ["conv_id", "turn_idx", "sent_idx"]
-    toks_df = sentences.select(
-        *key3, F.posexplode(F.split(F.col("sent_text"), " ")).alias("pos0", "tok")
-    )
-    keyed = toks_df.withColumn("key", F.lower(token_core_expr(F.col("tok"))))
+    if bigram_anchor:
+        # skewed-gazetteer mode: each position emits its unigram key AND the
+        # (key_i, key_{i+1}) pair key, so n==1 terms anchor as before while
+        # n>=2 terms block on true bigram matches. Costs one per-sentence
+        # keys array + 2x exploded rows (the documented trade-off).
+        keys_arr = F.transform(
+            F.split(F.col("sent_text"), " "),
+            lambda t: F.lower(token_core_expr(t)),
+        )
+        sent2 = sentences.select(*key3, keys_arr.alias("_keys"))
+        nxt = lambda i: F.try_element_at(F.col("_keys"), i + 2)  # noqa: E731
+        cand_keys = F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("_keys"),
+                    lambda k, i: F.array(
+                        F.struct(i.alias("pos0"), k.alias("key")),
+                        F.struct(
+                            i.alias("pos0"),
+                            F.when(
+                                nxt(i).isNotNull(),
+                                F.concat(k, F.lit(" "), nxt(i)),
+                            ).alias("key"),
+                        ),
+                    ),
+                )
+            ),
+            lambda s: s["key"].isNotNull(),
+        )
+        keyed = sent2.select(*key3, F.explode(cand_keys).alias("_s")).select(
+            *key3, F.col("_s.pos0").alias("pos0"), F.col("_s.key").alias("key")
+        )
+    else:
+        toks_df = sentences.select(
+            *key3, F.posexplode(F.split(F.col("sent_text"), " ")).alias("pos0", "tok")
+        )
+        keyed = toks_df.withColumn("key", F.lower(token_core_expr(F.col("tok"))))
     if firsts is not None:
         keyed = keyed.filter(F.col("key").isin(firsts))
     anchors = keyed.select(*key3, "pos0", F.col("key").alias("anchor_key"))

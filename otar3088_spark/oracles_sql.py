@@ -726,6 +726,12 @@ ORACLE_SQL: dict[str, str] = {
     + """
         SELECT doc_id, start, "end", term, label, ent_id FROM spans
     """,
+    # bigram-anchor blocking is a candidate PREFILTER only — identical span
+    # set, identical oracle (the SQL oracle has no blocking stage at all)
+    "term_tagging_bigram": _TAGGING_CTE
+    + """
+        SELECT doc_id, start, "end", term, label, ent_id FROM spans
+    """,
     "mentions_rollup": _TAGGING_CTE
     + """
         SELECT term, label, count(*) AS n_mentions,

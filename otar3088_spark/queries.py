@@ -329,6 +329,37 @@ def q_term_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_tagging_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term_tagging through the bigram-anchor blocking key (the skewed-
+    gazetteer escape hatch, BENCH/TAGGING_STRESS.md §2): n>=2 terms block on
+    (first, second) allowed-pair keys instead of the first token alone.
+    Same oracle as term_tagging — blocking only prefilters candidates, so
+    the span set is identical by construction; this query pins that through
+    the full DuckDB gate."""
+    from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.col("text").alias("sent_text"),
+    )
+    spans = tag_mentions(
+        d,
+        prepare_dictionary(_doc_dict_df(spark)),
+        precompute_offsets=True,
+        bigram_anchor=True,
+    )
+    return spans.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "start",
+        "end",
+        "term",
+        "label",
+        "ent_id",
+    )
+
+
 def q_mentions_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention frequency rollup (A1 over tagging output): per (term,label)
     total hits + docs containing it."""
@@ -696,6 +727,7 @@ QUERIES = {
     "json_props": q_json_props,
     "token_stats": q_token_stats,
     "term_tagging": q_term_tagging,
+    "term_tagging_bigram": q_term_tagging_bigram,
     "mentions_rollup": q_mentions_rollup,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,

@@ -577,3 +577,29 @@ def test_precompute_offsets_path_is_identical(spark, transcripts_df, dictionary_
     pre = {tuple(r) for r in tag_mentions(sents, d, precompute_offsets=True).collect()}
     assert len(fold) > 100
     assert fold == pre
+
+
+def test_bigram_anchor_path_is_identical(spark, transcripts_df, dictionary_df):
+    """The skewed-gazetteer escape hatch (bigram_anchor=True — n>=2 terms
+    block on (first, second) allowed-pair keys, n==1 terms on the unigram
+    key; BENCH/TAGGING_STRESS.md §2) must be bit-identical to the default
+    unigram anchor: blocking only prefilters candidates, window validation
+    decides membership in both modes."""
+    from otar3088_spark.functions.lemma_data import IRREGULAR_PLURALS
+
+    sents = sentencize(normalize_turns(transcripts_df))
+    d = prepare_dictionary(dictionary_df)
+    ov = IRREGULAR_PLURALS
+    uni = {tuple(r) for r in tag_mentions(sents, d, lemma_overrides=ov).collect()}
+    bi = {
+        tuple(r)
+        for r in tag_mentions(sents, d, lemma_overrides=ov, bigram_anchor=True).collect()
+    }
+    assert len(uni) > 100
+    # the fixture must exercise BOTH dim key spaces, or equality proves less
+    # than it claims: single-token terms (unigram anchors survive in bigram
+    # mode) and multi-token terms (pair anchors)
+    cols = tag_mentions(sents, d, lemma_overrides=ov).columns
+    t_i = cols.index("term")
+    assert any(" " in r[t_i] for r in uni) and any(" " not in r[t_i] for r in uni)
+    assert uni == bi

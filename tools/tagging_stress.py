@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--which", choices=["longdoc", "dictskew", "both"], default="both")
     ap.add_argument("--precompute", action="store_true",
                     help="use the per-sentence offsets-array stage-2 path")
+    ap.add_argument("--bigram", action="store_true",
+                    help="use the bigram-anchor blocking key (skewed-dict escape hatch)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -98,7 +100,11 @@ def main() -> None:
                 terms, ["ent_id", "term", "label"]
             ).withColumn("canonical_id", F.col("ent_id"))
             d = prepare_dictionary(dd)
-            spans = tag_mentions(c, d, precompute_offsets=args.precompute)
+            spans = tag_mentions(
+                c, d,
+                precompute_offsets=args.precompute,
+                bigram_anchor=args.bigram,
+            )
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.perf_counter()
