@@ -67,8 +67,11 @@ def run_bench(
     # window is visible INSIDE the bench record instead of needing
     # cross-session forensics. box_factor ~1 = healthy; >>1 = degraded
     # session, read absolute numbers with that factor in mind.
+    # the committed reference is a local[32] measurement — at other core
+    # counts the control would read 2-3x high on a healthy box and corrupt
+    # the exact signal it exists to provide (scale_bench runs cores=2/8)
     control: dict[str, float] = {}
-    if sf == CONTROL_REF_SF:
+    if sf == CONTROL_REF_SF and cores == 32:
         from otar3088_spark.queries import QUERIES as _Q
 
         best = float("inf")

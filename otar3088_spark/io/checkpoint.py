@@ -104,10 +104,22 @@ class SnapshotStore:
 def iceberg_catalog_configured(spark: SparkSession) -> bool:
     """True iff the session has an Iceberg catalog registered
     (``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``).
-    Config-based, so it is decidable without touching the classpath."""
+    Config-based, so it is decidable without touching the classpath.
+
+    Two subtleties: ``spark.sql.catalog.*`` is runtime-settable, so catalogs
+    registered AFTER launch live in the session's RuntimeConfig, not the
+    launch-time SparkConf — ``SET`` enumerates both. And only the catalog
+    IMPL key itself (exactly one name segment, no sub-key) counts: a
+    sub-key whose VALUE merely contains "iceberg"
+    (``spark.sql.catalog.lake.warehouse=s3://bkt/iceberg-wh``) must not."""
+    import re
+
+    pairs = dict(spark.sparkContext.getConf().getAll())
+    pairs.update((r["key"], r["value"]) for r in spark.sql("SET").collect())
     return any(
-        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
-        for k, v in spark.sparkContext.getConf().getAll()
+        re.fullmatch(r"spark\.sql\.catalog\.[^.]+", k)
+        and "iceberg" in str(v).lower()
+        for k, v in pairs.items()
     )
 
 

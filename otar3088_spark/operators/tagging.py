@@ -60,7 +60,13 @@ REDLIST_SUFFIX = r"(?:genesis|cytic|ial|yal)$"
 # Keys are (object identity, overrides, prefilter cap); the value pins the
 # key DataFrame so an id() can never be reused while its entry lives. A
 # re-read of changed source data is a NEW DataFrame object -> memo miss, so
-# staleness is impossible by construction. LRU-bounded: plans and <=50k
+# staleness is impossible by construction — under the standard Spark
+# contract that the files UNDER a held DataFrame are immutable (mutating
+# them in place already invalidates broadcast reuse, cached plans and AQE
+# statistics engine-wide; refresh = re-read, which is a new object). The
+# one memo-specific consequence of breaking that contract: the collected
+# anchor IN-set would lag the lazily-re-scanned dim, silently dropping
+# mentions of terms appended in place. LRU-bounded: plans and <=50k
 # anchor strings per entry.
 _MEMO_MAX = 8
 _PREP_MEMO: OrderedDict[int, tuple[DataFrame, DataFrame]] = OrderedDict()

@@ -301,10 +301,11 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_term_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gazetteer tagging parity over documents (J4/J5 token-blocked broadcast
-    join): every (doc, term, label, start-offset) dictionary hit. Exercises
-    the exact engine code path used by the KG pipeline."""
+def _tag_documents(spark: SparkSession, sf_dir: str, **tag_kw) -> DataFrame:
+    """Shared body of the two tagging queries: documents as single-sentence
+    corpus through tag_mentions, projected to the oracle's column set.
+    Both oracle-gated entries must stay byte-identical in shape — one body
+    guarantees they can't diverge."""
     from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions
 
     d = _t(spark, sf_dir, "documents").select(
@@ -317,7 +318,10 @@ def q_term_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulation (linear in doc length; the per-candidate fold is quadratic
     # on long docs and slower even at 54-token docs — BENCH/TAGGING_STRESS.md)
     spans = tag_mentions(
-        d, prepare_dictionary(_doc_dict_df(spark)), precompute_offsets=True
+        d,
+        prepare_dictionary(_doc_dict_df(spark)),
+        precompute_offsets=True,
+        **tag_kw,
     )
     return spans.select(
         F.col("conv_id").cast("bigint").alias("doc_id"),
@@ -327,6 +331,13 @@ def q_term_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "ent_id",
     )
+
+
+def q_term_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer tagging parity over documents (J4/J5 token-blocked broadcast
+    join): every (doc, term, label, start-offset) dictionary hit. Exercises
+    the exact engine code path used by the KG pipeline."""
+    return _tag_documents(spark, sf_dir)
 
 
 def q_term_tagging_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,28 +347,7 @@ def q_term_tagging_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same oracle as term_tagging — blocking only prefilters candidates, so
     the span set is identical by construction; this query pins that through
     the full DuckDB gate."""
-    from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions
-
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.lit(0).cast("int").alias("sent_idx"),
-        F.col("text").alias("sent_text"),
-    )
-    spans = tag_mentions(
-        d,
-        prepare_dictionary(_doc_dict_df(spark)),
-        precompute_offsets=True,
-        bigram_anchor=True,
-    )
-    return spans.select(
-        F.col("conv_id").cast("bigint").alias("doc_id"),
-        "start",
-        "end",
-        "term",
-        "label",
-        "ent_id",
-    )
+    return _tag_documents(spark, sf_dir, bigram_anchor=True)
 
 
 def q_mentions_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -127,9 +127,14 @@ def write_hf_dataset(
 
     Layout: ``{path}/data/{split}-{i:05d}-of-{n:05d}.parquet`` +
     ``{path}/README.md`` dataset card. Re-invoking for another ``split``
-    adds its shards and extends the card's splits/configs. A repartition is
-    only forced when the caller pins ``num_shards``; otherwise the current
-    partitioning flows straight to one file per partition.
+    adds its shards and extends the card's splits/configs; re-invoking for
+    an EXISTING split replaces its shards (the old shard files are removed
+    after the new data is staged — ``load_dataset``'s ``{split}-*`` glob
+    must never see a mix of generations). Splits of one config must share a
+    schema (a ``datasets`` invariant); a mismatch against already-written
+    shards raises before anything is modified. A repartition is only forced
+    when the caller pins ``num_shards``; otherwise the current partitioning
+    flows straight to one file per partition.
     """
     import pyarrow.parquet as pq
 
@@ -142,6 +147,35 @@ def write_hf_dataset(
 
     data_dir.mkdir(parents=True, exist_ok=True)
     parts = sorted(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+
+    # schema guard BEFORE touching existing files: the card documents ONE
+    # features block for all splits, and datasets.load_dataset resolves all
+    # splits of a config against it — silently writing a divergent split
+    # would misdocument every other one. Footer-only read.
+    import re as _re
+
+    own = _re.compile(rf"^{_re.escape(split)}-\d{{5}}-of-\d{{5}}\.parquet$")
+    existing = sorted(data_dir.glob("*-of-*.parquet"))
+    others = [p for p in existing if not own.match(p.name)]
+    if others and parts:
+        prev_schema = pq.read_schema(others[0])
+        new_schema = pq.read_schema(parts[0])
+        if not prev_schema.equals(new_schema):
+            for p in staging.iterdir():
+                p.unlink()
+            staging.rmdir()
+            raise ValueError(
+                f"split {split!r} schema {new_schema.names} does not match the "
+                f"already-written split shard {others[0].name!r} "
+                f"({prev_schema.names}); splits of one dataset config must "
+                "share a schema"
+            )
+
+    # replace-split semantics: drop this split's previous generation now
+    # that the new shards are fully staged
+    for p in existing:
+        if own.match(p.name):
+            p.unlink()
     n = len(parts)
     shard_names, num_examples = [], 0
     for i, part in enumerate(parts):

@@ -521,6 +521,22 @@ def test_write_iceberg_seam(spark):
     with pytest.raises(ValueError, match="unknown mode"):
         write_iceberg(df, "lake.kg.spans", mode="definitely_not_a_mode")
 
+    # a catalog SUB-key whose value mentions iceberg is NOT a catalog impl
+    spark.conf.set("spark.sql.catalog.lake.warehouse", "s3://bkt/iceberg-wh")
+    try:
+        assert not iceberg_catalog_configured(spark)
+        # spark.sql.catalog.* is runtime-settable: a catalog registered on
+        # the live session (RuntimeConfig, invisible to the launch SparkConf)
+        # must be detected
+        spark.conf.set(
+            "spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog"
+        )
+        assert iceberg_catalog_configured(spark)
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+        spark.conf.unset("spark.sql.catalog.lake.warehouse")
+    assert not iceberg_catalog_configured(spark)
+
 
 def test_tagging_dim_memoization_identity_semantics(spark):
     """Round-5 perf fix: repeated tag_mentions calls with the SAME prepared

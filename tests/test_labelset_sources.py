@@ -363,5 +363,25 @@ def test_hf_dataset_sink_roundtrip(spark, tmp_path):
     assert (out / "data" / "validation-00000-of-00001.parquet").exists()
     assert read_hf_dataset(spark, str(out), "train").count() == 3
 
+    # re-writing an EXISTING split replaces its shards: the old generation
+    # (2 shards) must not survive next to the new one (1 shard) — the
+    # {split}-* read glob would union both
+    write_hf_dataset(df.limit(2), str(out), split="train", num_shards=1)
+    assert sorted(p.name for p in (out / "data").iterdir()) == [
+        "train-00000-of-00001.parquet",
+        "validation-00000-of-00001.parquet",
+    ]
+    assert read_hf_dataset(spark, str(out), "train").count() == 2
+    card3 = (out / "README.md").read_text()
+    assert "num_examples: 2" in card3 and "num_examples: 1" in card3
+
+    # splits of one config must share a schema: a divergent split is
+    # refused before any existing file is touched
+    bad = df.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="share a schema"):
+        write_hf_dataset(bad, str(out), split="test", num_shards=1)
+    assert read_hf_dataset(spark, str(out), "train").count() == 2
+    assert not list(out.glob("_staging_*"))
+
     with pytest.raises(NotImplementedError, match="hub layout"):
         push_to_hub(str(out), "org/repo")

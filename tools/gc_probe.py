@@ -127,10 +127,16 @@ def main() -> None:
         env["SPARK_GRAFT_DRIVER_JAVA_OPTS"] = (
             f"{flags} -Xlog:gc:file={gclog}".strip()
         )
-        p = subprocess.run(
-            [sys.executable, "-c", WORKER.format(repo=str(REPO), turns=args.turns)],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", WORKER.format(repo=str(REPO), turns=args.turns)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # one slow config must not abort the comparison suite — record
+            # it (with whatever the GC log captured) and move on
+            print(f"{name}: TIMEOUT >3600s {parse_gc(gclog)}", flush=True)
+            continue
         res = [l for l in p.stdout.splitlines() if l.startswith("RESULT")]
         gc = parse_gc(gclog)
         print(f"{name}: {res[0] if res else 'FAILED rc=' + str(p.returncode)} {gc}",
