@@ -16,6 +16,34 @@ from pyspark.sql import SparkSession
 # Columns of the canonical input table (BASELINE.json input_hint).
 TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
+# Engine SQL configuration shared by local sessions (get_spark) and
+# spark-submit jobs (submit_spark / jobs/kg_submit.py). Everything here is
+# cluster-size independent; master / memory / local dirs are deliberately
+# NOT in this dict — locally get_spark pins them, under spark-submit the
+# cluster manager owns them.
+ENGINE_SQL_CONF = {
+    # --- determinism / oracle comparability ---
+    "spark.sql.session.timeZone": "UTC",
+    # --- adaptive execution: runtime re-plan, skew-join split, coalesce ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- Arrow transport for the sanctioned pandas-UDF surface ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # --- scans: keep file-split sizing explicit so partition counts are
+    #     stable across sf tiers (parquet row-group aligned) ---
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # --- broadcast: dictionaries are always small dims; give headroom ---
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # --- codegen class cache: the default (100 entries, static conf) is
+    #     smaller than one bench battery's worth of distinct generated
+    #     classes, so a long-lived session evicts and recompiles its
+    #     LARGEST classes (the fused tagging stage) on every re-entry.
+    #     Compiled classes are tiny next to the heap; 10x the cache. ---
+    "spark.sql.codegen.cache.maxEntries": "1000",
+}
+
 
 def get_spark(
     app_name: str = "otar3088-spark",
@@ -37,28 +65,8 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
-        # --- determinism / oracle comparability ---
-        .config("spark.sql.session.timeZone", "UTC")
-        # --- adaptive execution: runtime re-plan, skew-join split, coalesce ---
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # --- Arrow transport for the sanctioned pandas-UDF surface ---
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        # --- scans: keep file-split sizing explicit so partition counts are
-        #     stable across sf tiers (parquet row-group aligned) ---
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # --- broadcast: dictionaries are always small dims; give headroom ---
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # --- codegen class cache: the default (100 entries, static conf) is
-        #     smaller than one bench battery's worth of distinct generated
-        #     classes, so a long-lived session evicts and recompiles its
-        #     LARGEST classes (the fused tagging stage) on every re-entry.
-        #     Compiled classes are tiny next to the heap; 10x the cache. ---
-        .config("spark.sql.codegen.cache.maxEntries", "1000")
         # local mode: driver heap IS the executor heap. Runtime contract
         # (probed, BENCH/GC_PROBE.md): job wall scales MONOTONICALLY with
         # committed heap on this box (10M-turn KG job: 8g=238s, 16g=438s,
@@ -72,6 +80,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in ENGINE_SQL_CONF.items():
+        builder = builder.config(k, v)
     # Shuffle/spill scratch on tmpfs when available: the sandbox's /tmp sits
     # on a shared virtio disk with erratic write latency (measured 3-4x
     # whole-job swings); RAM-backed local dirs remove disk from the shuffle
@@ -87,5 +97,20 @@ def get_spark(
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def submit_spark(app_name: str = "otar3088-kg") -> SparkSession:
+    """SparkSession for a ``spark-submit`` job (jobs/kg_submit.py).
+
+    Applies only :data:`ENGINE_SQL_CONF` — master, executor/driver memory,
+    parallelism, shuffle-partition count and local dirs belong to the
+    cluster manager and the submit command line (``--master``, ``--conf``),
+    never to job code. The codegen-cache entry is a static conf, which is
+    fine here: under spark-submit the session does not exist yet when the
+    builder runs."""
+    builder = SparkSession.builder.appName(app_name)
+    for k, v in ENGINE_SQL_CONF.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
