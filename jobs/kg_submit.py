@@ -49,6 +49,15 @@ def _read(spark, src: str):
     return spark.table(src) if _is_table(src) else spark.read.parquet(src)
 
 
+def _positive_int(s: str) -> int:
+    # distinguishes "unset" (None default) from an explicit invalid 0/-N:
+    # `args.salt_partitions or default` would silently swallow a 0
+    v = int(s)
+    if v <= 0:
+        raise argparse.ArgumentTypeError(f"must be a positive integer, got {s!r}")
+    return v
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--transcripts", required=True,
@@ -69,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
                          "executes twice under label resolution)")
     ap.add_argument("--use-model", action="store_true",
                     help="enable the merged transformer branch (north star)")
-    ap.add_argument("--salt-partitions", type=int, default=None,
+    ap.add_argument("--salt-partitions", type=_positive_int, default=None,
                     help="salted repartition width for normalize_turns "
                          "(default: 2x defaultParallelism)")
     args = ap.parse_args(argv)
@@ -79,7 +88,20 @@ def main(argv: list[str] | None = None) -> int:
     from otar3088_spark.session import submit_spark
 
     spark = submit_spark()
-    salt = args.salt_partitions or spark.sparkContext.defaultParallelism * 2
+    # fail fast on a decidable misconfiguration: build_kg with --staging
+    # eagerly materializes the span snapshot (the dominant job cost) — a
+    # missing catalog must abort BEFORE that, not after
+    if _is_table(args.output) and not iceberg_catalog_configured(spark):
+        raise SystemExit(
+            f"--output {args.output!r} is a table identifier but the "
+            "session has no Iceberg catalog; pass a directory path or "
+            "submit with --conf spark.sql.catalog.<name>=..."
+        )
+    salt = (
+        args.salt_partitions
+        if args.salt_partitions is not None
+        else spark.sparkContext.defaultParallelism * 2
+    )
 
     t0 = time.perf_counter()
     res = build_kg(
@@ -93,12 +115,6 @@ def main(argv: list[str] | None = None) -> int:
 
     counts: dict[str, int] = {}
     if _is_table(args.output):
-        if not iceberg_catalog_configured(spark):
-            raise SystemExit(
-                f"--output {args.output!r} is a table identifier but the "
-                "session has no Iceberg catalog; pass a directory path or "
-                "submit with --conf spark.sql.catalog.<name>=..."
-            )
         for part in ("triples", "nodes", "edges"):
             write_iceberg(getattr(res, part), f"{args.output}.{part}")
             counts[part] = spark.table(f"{args.output}.{part}").count()

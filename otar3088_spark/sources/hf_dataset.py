@@ -157,32 +157,47 @@ def write_hf_dataset(
     own = _re.compile(rf"^{_re.escape(split)}-\d{{5}}-of-\d{{5}}\.parquet$")
     existing = sorted(data_dir.glob("*-of-*.parquet"))
     others = [p for p in existing if not own.match(p.name)]
-    if others and parts:
+
+    def _abort(msg: str):
+        for p in staging.iterdir():
+            p.unlink()
+        staging.rmdir()
+        raise ValueError(msg)
+
+    # an empty DataFrame stages either zero part files (zero input
+    # partitions) or one 0-row shard; silently "replacing" an existing
+    # generation with nothing (or emitting a split whose data_files glob
+    # matches no real data) would corrupt the dataset — refuse with the
+    # old generation untouched. Footer-only row count.
+    if not parts or sum(pq.read_metadata(p).num_rows for p in parts) == 0:
+        _abort(f"refusing to write split {split!r} from an empty DataFrame")
+    if others:
         prev_schema = pq.read_schema(others[0])
         new_schema = pq.read_schema(parts[0])
         if not prev_schema.equals(new_schema):
-            for p in staging.iterdir():
-                p.unlink()
-            staging.rmdir()
-            raise ValueError(
+            _abort(
                 f"split {split!r} schema {new_schema.names} does not match the "
                 f"already-written split shard {others[0].name!r} "
                 f"({prev_schema.names}); splits of one dataset config must "
                 "share a schema"
             )
 
-    # replace-split semantics: drop this split's previous generation now
-    # that the new shards are fully staged
-    for p in existing:
-        if own.match(p.name):
-            p.unlink()
+    # replace-split semantics, install-then-prune ordering: read every
+    # staged footer FIRST (fail before touching the live generation), then
+    # os.replace new shards onto their final names (same-named old shards
+    # are overwritten atomically — the {split}-* glob never sees a gap),
+    # and only then prune old-generation files the new name set doesn't
+    # cover (shard-count shrink). A crash mid-install leaves a mixed but
+    # complete-data state, never a lost generation.
     n = len(parts)
-    shard_names, num_examples = [], 0
-    for i, part in enumerate(parts):
-        name = f"{split}-{i:05d}-of-{n:05d}.parquet"
-        num_examples += pq.read_metadata(part).num_rows  # footer only
+    new_names = [f"{split}-{i:05d}-of-{n:05d}.parquet" for i in range(n)]
+    num_examples = sum(pq.read_metadata(part).num_rows for part in parts)
+    for part, name in zip(parts, new_names):  # footers all read above — install
         os.replace(part, data_dir / name)
-        shard_names.append(f"data/{name}")
+    shard_names = [f"data/{name}" for name in new_names]
+    for p in existing:
+        if own.match(p.name) and p.name not in set(new_names):
+            p.unlink(missing_ok=True)
     for leftover in staging.iterdir():  # _SUCCESS, .crc
         leftover.unlink()
     staging.rmdir()

@@ -383,5 +383,12 @@ def test_hf_dataset_sink_roundtrip(spark, tmp_path):
     assert read_hf_dataset(spark, str(out), "train").count() == 2
     assert not list(out.glob("_staging_*"))
 
+    # an empty DataFrame writes zero part files: silently replacing an
+    # existing generation with nothing must be refused, old shards intact
+    with pytest.raises(ValueError, match="empty DataFrame"):
+        write_hf_dataset(df.limit(0), str(out), split="train")
+    assert read_hf_dataset(spark, str(out), "train").count() == 2
+    assert not list(out.glob("_staging_*"))
+
     with pytest.raises(NotImplementedError, match="hub layout"):
         push_to_hub(str(out), "org/repo")

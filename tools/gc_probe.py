@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import os
 import re
+import signal
 import subprocess
 import sys
 import tempfile
@@ -127,22 +128,32 @@ def main() -> None:
         env["SPARK_GRAFT_DRIVER_JAVA_OPTS"] = (
             f"{flags} -Xlog:gc:file={gclog}".strip()
         )
+        # Popen + own process group, NOT subprocess.run(timeout=...): on
+        # timeout, run() kills only the direct python child and then blocks
+        # on the captured pipes, which the py4j-launched Spark JVM
+        # grandchild also holds open — the 8g JVM would survive to
+        # contaminate every later config's measurement. killpg reaps the
+        # whole tree.
+        proc = subprocess.Popen(
+            [sys.executable, "-c", WORKER.format(repo=str(REPO), turns=args.turns)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, start_new_session=True,
+        )
         try:
-            p = subprocess.run(
-                [sys.executable, "-c", WORKER.format(repo=str(REPO), turns=args.turns)],
-                env=env, capture_output=True, text=True, timeout=3600,
-            )
+            out, err = proc.communicate(timeout=3600)
         except subprocess.TimeoutExpired:
-            # one slow config must not abort the comparison suite — record
-            # it (with whatever the GC log captured) and move on
+            # one slow config must not abort the comparison suite — kill
+            # the whole group, record what the GC log captured, move on
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.communicate()
             print(f"{name}: TIMEOUT >3600s {parse_gc(gclog)}", flush=True)
             continue
-        res = [l for l in p.stdout.splitlines() if l.startswith("RESULT")]
+        res = [l for l in out.splitlines() if l.startswith("RESULT")]
         gc = parse_gc(gclog)
-        print(f"{name}: {res[0] if res else 'FAILED rc=' + str(p.returncode)} {gc}",
+        print(f"{name}: {res[0] if res else 'FAILED rc=' + str(proc.returncode)} {gc}",
               flush=True)
         if not res:
-            print(p.stderr[-2000:], flush=True)
+            print(err[-2000:], flush=True)
 
 
 if __name__ == "__main__":
