@@ -595,6 +595,89 @@ def test_precompute_offsets_path_is_identical(spark, transcripts_df, dictionary_
     assert fold == pre
 
 
+def test_fuzz_tagging_all_paths_match_oracle(spark):
+    """Seeded fuzz differential over a deliberately tricky token alphabet
+    (irregular plurals, possessives, apostrophe-final tokens, punctuation
+    wrappers, sentence-final periods): every engine path — default fold,
+    offsets-array, bigram anchor — must produce the pandas oracle's exact
+    span set on a corpus none of them was tuned on. Deterministic seed, one
+    Spark round trip per path."""
+    import numpy as np
+
+    rng = np.random.RandomState(20260817)
+    # surface tokens the normalizer/preimage machinery must agree on:
+    # irregulars (mice/mouse), rule plurals/possessives (cells/cell's),
+    # apostrophe-final ("farmers'"), destem-collisions (moles vs mole),
+    # punctuation wrappers, and sentence enders
+    alphabet = [
+        "mice", "mouse", "mole", "moles", "mole's", "farmers'", "cells",
+        "cell", "cell's", "(cell)", "gene", "genes", "gene's", "table",
+        "tables", "name", "names", "data", "model", "models", "lines",
+        "line", "assay.", "assays,", "the", "a", "of", "in", '"mice"',
+        "ganglia", "ganglion", "roots", "root",
+    ]
+    turns = []
+    for i in range(150):
+        n = rng.randint(6, 22)
+        text = " ".join(alphabet[j] for j in rng.randint(0, len(alphabet), n))
+        turns.append(
+            {
+                "conv_id": f"c{i % 40:03d}",
+                "turn_idx": int(i // 40),
+                "role": "user",
+                "text": text,
+                "tool": "",
+                "ts": pd.Timestamp("2026-01-01"),
+            }
+        )
+    tr_pd = pd.DataFrame(turns)
+    # dictionary: 1-3 token lemma-form terms over the same alphabet's cores,
+    # so plural/possessive/irregular corpus surfaces must link back to them
+    dict_terms = [
+        ("E01", "mouse model", "Method"),
+        ("E02", "cell", "Anatomy"),
+        ("E03", "cell line", "Anatomy"),
+        ("E04", "gene", "Gene"),
+        ("E05", "table name", "Obj"),
+        ("E06", "mole", "Obj"),
+        ("E07", "data table", "Obj"),
+        ("E08", "dorsal root ganglion", "Anatomy"),
+        ("E09", "root ganglion", "Anatomy"),
+        ("E10", "model line", "Method"),
+        ("E11", "name", "Obj"),
+        ("E12", "farmers'", "Obj"),
+    ]
+    dict_pd = pd.DataFrame(dict_terms, columns=["ent_id", "term", "label"])
+    dict_pd["canonical_id"] = dict_pd["ent_id"]
+
+    from otar3088_spark.functions.lemma_data import IRREGULAR_PLURALS
+
+    tr_df = spark.createDataFrame(tr_pd)
+    d = prepare_dictionary(spark.createDataFrame(dict_pd))
+    sents = sentencize(normalize_turns(tr_df))
+    ov = IRREGULAR_PLURALS  # build_kg's default — what the oracle mirrors
+
+    base = _span_set(tag_mentions(sents, d, lemma_overrides=ov).toPandas())
+    pre = _span_set(
+        tag_mentions(sents, d, lemma_overrides=ov, precompute_offsets=True).toPandas()
+    )
+    bi = _span_set(
+        tag_mentions(sents, d, lemma_overrides=ov, bigram_anchor=True).toPandas()
+    )
+    want = _span_set(oracle.extract_spans(tr_pd, dict_pd))
+
+    assert len(want) > 200, "fuzz corpus must actually produce mentions"
+    # multi-token AND single-token dictionary hits must both occur, plus an
+    # inflected (non-lemma) surface, or the fuzz proves less than it claims
+    got = tag_mentions(sents, d, lemma_overrides=ov).toPandas()
+    assert (got["term"].str.contains(" ")).any()
+    assert (~got["term"].str.contains(" ")).any()
+    assert (got["surface"].str.lower() != got["term"].str.lower()).any()
+    assert base == want
+    assert pre == want
+    assert bi == want
+
+
 def test_bigram_anchor_path_is_identical(spark, transcripts_df, dictionary_df):
     """The skewed-gazetteer escape hatch (bigram_anchor=True — n>=2 terms
     block on (first, second) allowed-pair keys, n==1 terms on the unigram
