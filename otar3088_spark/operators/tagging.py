@@ -209,6 +209,10 @@ def tag_mentions(
     ``substring(sent_text, start+1, end-start) == surface``
     (article_normaliser.py:285-324 alignment check, enforced downstream).
 
+    ``lemma_overrides`` defaults to {} (rule-based destem only); build_kg
+    passes the public ``IRREGULAR_PLURALS`` table — direct callers who want
+    pipeline-equivalent linking ("mice models" -> "mouse model") should too.
+
     Matching is WHOLE-WINDOW lemma equality (labelstudio_e2e.py:179-185
     lemmatizes every token of the dictionary term; :218-226 compares
     ``window_lemmas == lemma_tokens`` position-by-position): a window matches

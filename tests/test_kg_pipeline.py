@@ -72,8 +72,16 @@ def _span_set(df: pd.DataFrame) -> set:
 
 
 def test_tagging_matches_oracle(spark, transcripts_df, dictionary_df, transcripts_pd, dictionary_pd):
+    # compare IDENTICAL configurations: oracle.extract_spans defaults to
+    # build_kg's IRREGULAR_PLURALS override map, tag_mentions to {} — the
+    # synth fixture happens not to distinguish them, but the fuzz corpus
+    # does (test_fuzz_tagging_all_paths_match_oracle), so align explicitly
+    from otar3088_spark.functions.lemma_data import IRREGULAR_PLURALS
+
     sents = sentencize(normalize_turns(transcripts_df))
-    spans = tag_mentions(sents, prepare_dictionary(dictionary_df)).toPandas()
+    spans = tag_mentions(
+        sents, prepare_dictionary(dictionary_df), lemma_overrides=IRREGULAR_PLURALS
+    ).toPandas()
     want = oracle.extract_spans(transcripts_pd, dictionary_pd)
     assert len(want) > 100, "fixture must produce a meaningful number of mentions"
     assert _span_set(spans) == _span_set(want)
