@@ -1,0 +1,108 @@
+"""Training-dataset assembly: spans -> IOB -> encoded, split, sharded HF
+dataset directory.
+
+This is the DATA side of the reference's NER training stack — what
+``dataset_loader.py`` does before the HF Trainer takes over (IOB alignment,
+label encoding, train/val split ``train_test_split(seed=42)``, optional
+gazetteer augmentation `dataset_loader.py:409-433`, then
+``_push_ds_to_hub`` `brat_processor.py:110-119`) — composed from the
+engine's own operators (J9 spans_to_iob, P9 filter_all_o, M5 encode_labels,
+M6 train_val_split, M4 augment_with_gazetteer, K5 write_hf_dataset) as one
+Spark plan. The trainer itself stays out of scope (SURVEY §7.4): the
+OUTPUT of this plan is the frozen artifact a GPU box consumes with
+``datasets.load_dataset(out_dir)``.
+
+Scale posture: everything is per-sentence narrow work plus the splits'
+parquet writes; the only aggregation is spans_to_iob's per-sentence span
+collect (one shuffle, already co-partitioned with the tagging output). The
+label-set collect is a bounded driver fetch of a tiny dim (labels are a
+closed annotation vocabulary, <=dozens) — same sanctioned class as the
+tagging anchor IN-set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from otar3088_spark.operators.labelset import encode_labels, train_val_split
+from otar3088_spark.operators.spans import filter_all_o, spans_to_iob
+from otar3088_spark.sources.hf_dataset import write_hf_dataset
+
+
+def label_map(labels: list[str]) -> dict[str, int]:
+    """IOB label vocabulary -> contiguous ids, HF token-classification
+    convention: O=0, then B-X/I-X pairs in sorted label order."""
+    out = {"O": 0}
+    for lab in sorted(labels):
+        out[f"B-{lab}"] = len(out)
+        out[f"I-{lab}"] = len(out)
+    return out
+
+
+def build_ner_dataset(
+    sentences: DataFrame,
+    spans: DataFrame,
+    out_dir: str,
+    labels: list[str] | None = None,
+    val_fraction: float = 0.2,
+    seed: int = 42,
+    gazetteer: DataFrame | None = None,
+    p_swap: float = 0.0,
+    drop_all_o: bool = True,
+    num_shards: int | None = None,
+) -> dict:
+    """Assemble a token-classification dataset directory from tagged spans.
+
+    ``sentences``: (conv_id, turn_idx, sent_idx, sent_text) — the
+    sentencize output; ``spans``: tag_mentions/merged spans over them.
+    Writes ``train``/``validation`` splits of
+    (conv_id, turn_idx, sent_idx, tokens, ner_tags) to ``out_dir`` in the
+    hub layout (K5) and returns a manifest
+    ``{label2id, train_shards, val_shards}``.
+
+    ``labels=None`` derives the vocabulary from the spans' distinct labels
+    (bounded driver fetch of a tiny dim). ``gazetteer`` + ``p_swap`` enable
+    the reference's stochastic same-type entity substitution on the TRAIN
+    split only (`data_augmentation.py:118-181`, seeded — deterministic
+    re-runs). All-O sentences are dropped by default
+    (`dataset_loader.py` keeps only annotated sentences; P9).
+    """
+    iob = spans_to_iob(sentences, spans)
+    if drop_all_o:
+        iob = filter_all_o(iob)
+
+    if labels is None:
+        labels = sorted(
+            r["label"] for r in spans.select("label").distinct().collect()
+        )
+    label2id = label_map(list(labels))
+
+    train, val = train_val_split(iob, val_fraction=val_fraction, seed=seed)
+    if gazetteer is not None and p_swap > 0.0:
+        from otar3088_spark.operators.augment import augment_with_gazetteer
+
+        train = augment_with_gazetteer(
+            train, gazetteer, p_swap=p_swap, seed=seed
+        ).drop("augmented")
+
+    def encoded(df: DataFrame) -> DataFrame:
+        return encode_labels(df, label2id).select(
+            "conv_id",
+            "turn_idx",
+            "sent_idx",
+            "tokens",
+            F.col("tags_ids").alias("ner_tags"),
+        )
+
+    train_shards = write_hf_dataset(
+        encoded(train), out_dir, split="train", num_shards=num_shards
+    )
+    val_shards = write_hf_dataset(
+        encoded(val), out_dir, split="validation", num_shards=num_shards
+    )
+    return {
+        "label2id": label2id,
+        "train_shards": train_shards,
+        "val_shards": val_shards,
+    }
