@@ -40,9 +40,12 @@ import time
 
 
 def _is_table(src: str) -> bool:
-    """Catalog table identifier vs filesystem path: identifiers have no
-    path separator and no .parquet suffix."""
-    return "/" not in src and not src.endswith(".parquet")
+    """Catalog table identifier vs filesystem path. Identifiers are DOTTED
+    (``lake.raw.transcripts`` — production Iceberg tables are namespaced);
+    anything with a path separator, a .parquet suffix, or no dot at all
+    (``kg_out``, a natural relative directory) is a filesystem path. To
+    address an unqualified table in the current catalog, qualify it."""
+    return "/" not in src and not src.endswith(".parquet") and "." in src
 
 
 def _read(spark, src: str):
@@ -116,8 +119,18 @@ def main(argv: list[str] | None = None) -> int:
     counts: dict[str, int] = {}
     if _is_table(args.output):
         for part in ("triples", "nodes", "edges"):
-            write_iceberg(getattr(res, part), f"{args.output}.{part}")
-            counts[part] = spark.table(f"{args.output}.{part}").count()
+            tbl = f"{args.output}.{part}"
+            # bootstrap: overwritePartitions() cannot create a table (and
+            # bucket(conv_id) hidden partitioning is only applied at table
+            # creation), so the first run of a fresh namespace must
+            # create_or_replace; steady-state runs dynamic-overwrite
+            mode = (
+                "replace_partitions"
+                if spark.catalog.tableExists(tbl)
+                else "create_or_replace"
+            )
+            write_iceberg(getattr(res, part), tbl, mode=mode)
+            counts[part] = spark.table(tbl).count()
     else:
         for part in ("triples", "nodes", "edges"):
             dest = os.path.join(args.output, part)

@@ -17,10 +17,16 @@ parquet writes; the only aggregation is spans_to_iob's per-sentence span
 collect (one shuffle, already co-partitioned with the tagging output). The
 label-set collect is a bounded driver fetch of a tiny dim (labels are a
 closed annotation vocabulary, <=dozens) — same sanctioned class as the
-tagging anchor IN-set.
+tagging anchor IN-set. The plan has THREE consumers of the IOB table
+(label derivation, train write, val write); pass ``staging_dir`` at scale
+so the upstream tagging DAG executes once into a parquet snapshot instead
+of three times — the same pattern as build_kg's span staging.
 """
 
 from __future__ import annotations
+
+import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,6 +57,7 @@ def build_ner_dataset(
     p_swap: float = 0.0,
     drop_all_o: bool = True,
     num_shards: int | None = None,
+    staging_dir: str | None = None,
 ) -> dict:
     """Assemble a token-classification dataset directory from tagged spans.
 
@@ -61,20 +68,33 @@ def build_ner_dataset(
     hub layout (K5) and returns a manifest
     ``{label2id, train_shards, val_shards}``.
 
-    ``labels=None`` derives the vocabulary from the spans' distinct labels
-    (bounded driver fetch of a tiny dim). ``gazetteer`` + ``p_swap`` enable
-    the reference's stochastic same-type entity substitution on the TRAIN
+    ``labels=None`` derives the vocabulary from the IOB tags (bounded
+    driver fetch of a tiny dim). ``gazetteer`` + ``p_swap`` enable the
+    reference's stochastic same-type entity substitution on the TRAIN
     split only (`data_augmentation.py:118-181`, seeded — deterministic
     re-runs). All-O sentences are dropped by default
     (`dataset_loader.py` keeps only annotated sentences; P9).
+    ``staging_dir`` snapshots the IOB table to parquet so the upstream
+    tagging DAG runs once, not once per consumer (see module docstring).
     """
     iob = spans_to_iob(sentences, spans)
     if drop_all_o:
         iob = filter_all_o(iob)
+    if staging_dir is not None:
+        snap = os.path.join(staging_dir, f"iob_{uuid.uuid4().hex[:12]}")
+        iob.write.mode("overwrite").parquet(snap)
+        iob = sentences.sparkSession.read.parquet(snap)
 
     if labels is None:
         labels = sorted(
-            r["label"] for r in spans.select("label").distinct().collect()
+            {
+                r["l"]
+                for r in iob.select(F.explode("tags").alias("t"))
+                .filter(F.col("t") != "O")
+                .select(F.regexp_replace("t", "^[BI]-", "").alias("l"))
+                .distinct()
+                .collect()
+            }
         )
     label2id = label_map(list(labels))
 

@@ -80,14 +80,30 @@ def _yaml_feature_lines(name: str, dtype: object, indent: int) -> list[str]:
                 f"{pad}- name: {name}",
                 f"{pad}  sequence: {inner}",
             ]
-        lines = [f"{pad}- name: {name}", f"{pad}  sequence:"]
-        for sub in inner if isinstance(inner, list) else [inner]:
-            lines += _yaml_feature_lines(sub["name"], sub["dtype"], indent + 4)
-        return lines
+        return [f"{pad}- name: {name}", f"{pad}  sequence:"] + _yaml_seq_body(
+            inner, indent + 4
+        )
     # struct: list of subfeatures
     lines = [f"{pad}- name: {name}", f"{pad}  struct:"]
     for sub in dtype:
         lines += _yaml_feature_lines(sub["name"], sub["dtype"], indent + 4)
+    return lines
+
+
+def _yaml_seq_body(inner: object, indent: int) -> list[str]:
+    """Body of a non-scalar ``sequence:`` node: a nested sequence
+    (array<array<...>>, e.g. per-token embeddings) or a struct-element
+    feature list — the two shapes push_to_hub emits under a sequence key."""
+    pad = " " * indent
+    if isinstance(inner, dict):  # sequence of sequence
+        deeper = inner["sequence"]
+        if isinstance(deeper, str):
+            return [f"{pad}sequence: {deeper}"]
+        return [f"{pad}sequence:"] + _yaml_seq_body(deeper, indent + 2)
+    # sequence of struct
+    lines: list[str] = []
+    for sub in inner:
+        lines += _yaml_feature_lines(sub["name"], sub["dtype"], indent)
     return lines
 
 

@@ -392,3 +392,19 @@ def test_hf_dataset_sink_roundtrip(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="hub layout"):
         push_to_hub(str(out), "org/repo")
+
+
+def test_hf_dataset_card_nested_sequence(spark, tmp_path):
+    """array<array<T>> columns (per-token embeddings) must produce a valid
+    nested `sequence:` card node, not a KeyError after shards install."""
+    from otar3088_spark.sources.hf_dataset import read_hf_dataset, write_hf_dataset
+
+    df = spark.createDataFrame(
+        [(1, [[1.0, 2.0], [3.0]]), (2, [[4.0]])], ["doc_id", "tok_vecs"]
+    )
+    out = tmp_path / "nested"
+    write_hf_dataset(df, str(out), split="train", num_shards=1)
+    card = (out / "README.md").read_text()
+    assert "- name: tok_vecs" in card
+    assert "sequence:\n      sequence: float64" in card
+    assert read_hf_dataset(spark, str(out), "train").count() == 2

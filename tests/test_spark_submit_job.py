@@ -18,6 +18,25 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def test_is_table_routing():
+    """Dotted identifiers route to the catalog; slashes, .parquet suffixes,
+    and bare undotted names (natural relative dirs like `kg_out`) route to
+    the filesystem."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "kg_submit", REPO / "jobs" / "kg_submit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._is_table("lake.kg")
+    assert mod._is_table("lake.raw.transcripts")
+    assert not mod._is_table("kg_out")
+    assert not mod._is_table("data/transcripts.parquet")
+    assert not mod._is_table("transcripts.parquet")
+    assert not mod._is_table("/abs/dir")
+
+
 def test_spark_submit_pyfiles_job(spark, transcripts_df, dictionary_df, tmp_path):
     import pyspark
 

@@ -61,9 +61,12 @@ def test_build_ner_dataset_roundtrip(spark, transcripts_df, dictionary_df, tmp_p
     assert both.count() == direct.count()  # split is a partition of the whole
     assert both.filter(F.col("ner_tags") != F.col("want")).count() == 0
 
-    # deterministic: same seed -> identical split membership
+    # deterministic: same seed -> identical split membership; this build
+    # also exercises the staging snapshot (tagging DAG executes once)
     out2 = tmp_path / "ner_ds2"
-    build_ner_dataset(sents, spans, str(out2), seed=42)
+    build_ner_dataset(
+        sents, spans, str(out2), seed=42, staging_dir=str(tmp_path / "stage")
+    )
     t2 = read_hf_dataset(spark, str(out2), "train")
     key = ["conv_id", "turn_idx", "sent_idx"]
     assert train.select(*key).exceptAll(t2.select(*key)).count() == 0

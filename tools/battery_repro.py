@@ -8,8 +8,12 @@ Runs the battery prefix (every query before term_tagging, x repeats), then
 times term_tagging N more times, printing EACH repetition so warm-up vs
 steady-state is visible. Probes are switchable:
 
-  --codegen-cache N   set spark.sql.codegen.cache.maxEntries (static conf;
-                      default JVM value is 100 entries)
+  --codegen-cache N   set spark.sql.codegen.cache.maxEntries (static conf).
+                      NOTE: the engine's session factory now bakes in 1000
+                      (the round-5 fix, session.py ENGINE_SQL_CONF), so a
+                      flagless run measures the FIXED config; pass
+                      --codegen-cache 100 (the raw JVM default) to
+                      reproduce the original regression
   --prefix-repeat R   repeats per prefix query (default 3 = bench.py's)
   --reps N            term_tagging timing repetitions (default 4)
 """
