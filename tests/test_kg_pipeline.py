@@ -672,6 +672,11 @@ def test_fuzz_tagging_all_paths_match_oracle(spark):
     bi = _span_set(
         tag_mentions(sents, d, lemma_overrides=ov, bigram_anchor=True).toPandas()
     )
+    both = _span_set(
+        tag_mentions(
+            sents, d, lemma_overrides=ov, bigram_anchor=True, precompute_offsets=True
+        ).toPandas()
+    )
     want = _span_set(oracle.extract_spans(tr_pd, dict_pd))
 
     assert len(want) > 200, "fuzz corpus must actually produce mentions"
@@ -684,6 +689,7 @@ def test_fuzz_tagging_all_paths_match_oracle(spark):
     assert base == want
     assert pre == want
     assert bi == want
+    assert both == want  # the two opt-in flags compose
 
 
 def test_bigram_anchor_path_is_identical(spark, transcripts_df, dictionary_df):
