@@ -692,6 +692,61 @@ def test_fuzz_tagging_all_paths_match_oracle(spark):
     assert both == want  # the two opt-in flags compose
 
 
+def test_fuzz_kg_end_to_end_matches_golden(spark):
+    """END-TO-END fuzz: the full pipeline (normalize → sentencize → tag →
+    [model merge] → disambiguate → canonicalize → triples) must reproduce
+    the golden oracle's triple set EXACTLY (P=R=1.0) on a random corpus it
+    was never tuned on — gazetteer path AND merged model path, including
+    alias-cluster same_as triples (two ids sharing the surface 'gene')."""
+    import numpy as np
+
+    rng = np.random.RandomState(424242)
+    alphabet = [
+        "mice", "mouse", "mole", "moles", "mole's", "farmers'", "cells",
+        "cell", "cell's", "(cell)", "gene", "genes", "gene's", "table",
+        "tables", "name", "names", "data", "model", "models", "lines",
+        "line", "assay.", "assays,", "the", "a", "of", "in", '"mice"',
+        "ganglia", "ganglion", "roots", "root", "feet", "foot",
+    ]
+    dict_terms = [
+        ("E01", "mouse model", "Method"), ("E02", "cell", "Anatomy"),
+        ("E03", "cell line", "Anatomy"), ("E04", "gene", "Gene"),
+        ("E05", "table name", "Obj"), ("E06", "mole", "Obj"),
+        ("E07", "data table", "Obj"), ("E08", "dorsal root ganglion", "Anatomy"),
+        ("E09", "root ganglion", "Anatomy"), ("E10", "model line", "Method"),
+        ("E11", "name", "Obj"), ("E12", "farmers'", "Obj"),
+        ("E13", "foot", "Anatomy"),
+        # alias-colliding pair: one surface under two ids -> same_as cluster
+        ("E14", "gene", "GeneAlt"),
+    ]
+    dict_pd = pd.DataFrame(dict_terms, columns=["ent_id", "term", "label"])
+    dict_pd["canonical_id"] = dict_pd["ent_id"]
+    turns = []
+    for i in range(120):
+        n = rng.randint(5, 25)
+        text = " ".join(alphabet[j] for j in rng.randint(0, len(alphabet), n))
+        turns.append(
+            {"conv_id": f"c{i % 30:03d}", "turn_idx": int(i // 30), "role": "u",
+             "text": text, "tool": "", "ts": pd.Timestamp("2026-01-01")}
+        )
+    tr_pd = pd.DataFrame(turns)
+    tr_df = spark.createDataFrame(tr_pd)
+    dict_df = spark.createDataFrame(dict_pd)
+    for use_model in (False, True):
+        res = build_kg(tr_df, dict_df, use_model=use_model)
+        pred = set(
+            map(tuple, res.triples.select("subj", "pred", "obj").distinct().collect())
+        )
+        gold_df = oracle.golden_triples(tr_pd, dict_pd, with_model=use_model)
+        gold = set(map(tuple, gold_df.itertuples(index=False, name=None)))
+        assert len(gold) > 300
+        assert any(p == "same_as" for _, p, _ in gold), "alias cluster must fire"
+        assert pred == gold, (
+            f"use_model={use_model}: pred-only={sorted(pred - gold)[:5]} "
+            f"gold-only={sorted(gold - pred)[:5]}"
+        )
+
+
 def test_bigram_anchor_path_is_identical(spark, transcripts_df, dictionary_df):
     """The skewed-gazetteer escape hatch (bigram_anchor=True — n>=2 terms
     block on (first, second) allowed-pair keys, n==1 terms on the unigram
