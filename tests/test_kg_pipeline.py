@@ -716,8 +716,14 @@ def test_fuzz_kg_end_to_end_matches_golden(spark):
         ("E09", "root ganglion", "Anatomy"), ("E10", "model line", "Method"),
         ("E11", "name", "Obj"), ("E12", "farmers'", "Obj"),
         ("E13", "foot", "Anatomy"),
-        # alias-colliding pair: one surface under two ids -> same_as cluster
+        # homonym surface under two ids/labels (exercises homonym dedup +
+        # label resolution)
         ("E14", "gene", "GeneAlt"),
+        # alias-colliding pair that SURVIVES resolution: alias_key drops
+        # GENERIC_WORDS ("line"), so "gene line" clusters with "gene" while
+        # staying a distinct, longer, containment-winning span -> its
+        # resolved ent E15 != cluster rep E04 -> same_as triple
+        ("E15", "gene line", "Gene"),
     ]
     dict_pd = pd.DataFrame(dict_terms, columns=["ent_id", "term", "label"])
     dict_pd["canonical_id"] = dict_pd["ent_id"]
@@ -729,6 +735,13 @@ def test_fuzz_kg_end_to_end_matches_golden(spark):
             {"conv_id": f"c{i % 30:03d}", "turn_idx": int(i // 30), "role": "u",
              "text": text, "tool": "", "ts": pd.Timestamp("2026-01-01")}
         )
+    # one pinned turn guaranteeing the alias-cluster span occurs (random
+    # adjacency of "gene line" is not certain at this corpus size)
+    turns.append(
+        {"conv_id": "c_pin", "turn_idx": 0, "role": "u",
+         "text": "the gene line of mice models. feet data tables here.",
+         "tool": "", "ts": pd.Timestamp("2026-01-01")}
+    )
     tr_pd = pd.DataFrame(turns)
     tr_df = spark.createDataFrame(tr_pd)
     dict_df = spark.createDataFrame(dict_pd)
