@@ -31,11 +31,19 @@ GENERIC_WORDS = ("cell", "cells", "line", "lines", "tissue", "tissues")
 
 
 def label_priority_expr(label_col) -> Column:
-    """Rank of a label in the fixed priority order; unknown labels last."""
-    m = F.create_map(
-        *[x for i, lab in enumerate(LABEL_PRIORITY) for x in (F.lit(lab), F.lit(i))]
+    """Rank of a label in the fixed priority order; unknown labels last.
+
+    Built as a constant-folded ``map_from_arrays`` literal looked up with
+    ``try_element_at`` — NOT ``GetMapValue(CreateMap(...))``, which is not
+    constant-folded and re-materializes the map per row (the same pitfall
+    functions/text.py norm_key_expr documents)."""
+    from otar3088_spark.functions.text import sql_str_array
+
+    m = F.expr(
+        f"map_from_arrays({sql_str_array(LABEL_PRIORITY)}, "
+        f"array({', '.join(str(i) for i in range(len(LABEL_PRIORITY)))}))"
     )
-    return F.coalesce(m[label_col], F.lit(len(LABEL_PRIORITY)))
+    return F.coalesce(F.try_element_at(m, label_col), F.lit(len(LABEL_PRIORITY)))
 
 
 def resolve_labels(spans: DataFrame) -> DataFrame:
@@ -65,8 +73,12 @@ def resolve_labels(spans: DataFrame) -> DataFrame:
     # keep only spans whose dictionary row carries the winning label. The
     # min-ent_id tie-break already happened array-side in drop_contained
     # (one representative per (start, end, label)), so this stage is a pure
-    # broadcast-join filter — zero shuffle over the span table.
-    return out.filter(F.col("label") == F.col("resolved_label")).drop("resolved_label")
+    # broadcast-join filter — zero shuffle over the span table. BOTH helper
+    # columns are dropped: the output contract is exactly the input span
+    # columns (triples.py consumes it; the pandas oracle drops both too).
+    return out.filter(F.col("label") == F.col("resolved_label")).drop(
+        "resolved_label", "term_key"
+    )
 
 
 def alias_key_expr(term_col) -> Column:
@@ -190,8 +202,14 @@ def connected_components(
         changed = flagged.filter(F.col("_changed")).limit(1).count()
         comps = flagged.drop("_changed")
         if changed == 0:
-            break
-    return comps
+            return comps
+    # exhausting max_iter means labels are still moving: returning them
+    # would silently split real components into several labels downstream
+    # (same contract as connected_components_star — fail loudly)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter or use connected_components_star"
+    )
 
 
 def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:

@@ -146,6 +146,15 @@ def model_mentions(
             if pdf.empty:
                 continue
             preds = model(pdf["sent_text"])
+            # a scorer that filters rows (returns fewer lists than inputs)
+            # must fail loudly — a bare zip would truncate and silently drop
+            # every trailing sentence's mentions from the batch
+            if len(preds) != len(pdf):
+                raise ValueError(
+                    f"scorer returned {len(preds)} span lists for "
+                    f"{len(pdf)} sentences; it must return exactly one list "
+                    "per input row (empty list for no mentions)"
+                )
             rows = []
             for (conv_id, turn_idx, sent_idx, sent_text), spans in zip(
                 pdf[["conv_id", "turn_idx", "sent_idx", "sent_text"]].itertuples(
@@ -342,7 +351,11 @@ def link_model_mentions(
     """Entity-link candidate generation for model-scored mentions — the
     north-star 'link-score disambiguation' stage (reference lineage:
     trial_to_papers.ipynb cells 11-12 link model spans back to the entity
-    dictionary).
+    dictionary). Disambiguation is by min (rank, ent_id): the model's
+    confidence score is a per-SPAN quantity — identical for every
+    dictionary candidate of one span — so it cannot order candidates; it
+    stays on the model_mentions output for downstream thresholding and is
+    not threaded through the link join.
 
     Two-tier candidate generation, broadcast-joined in ONE pass:
 
@@ -404,7 +417,7 @@ def link_model_mentions(
     # alias normalization
     surf_akey = alias_key_expr(F.regexp_replace(F.col("surface"), "[^A-Za-z0-9]+", " "))
     m = model_spans.select(
-        "conv_id", "turn_idx", "sent_idx", "score",
+        "conv_id", "turn_idx", "sent_idx",
         key_nm.alias("key_nm"),
         surf_akey.alias("akey"),
         (F.col("start") + lead1).cast("int").alias("start"),
@@ -433,10 +446,10 @@ def link_model_mentions(
         )
     )
     m_keyed = m.select(
-        "conv_id", "turn_idx", "sent_idx", "score", "start", "end", "surface",
+        "conv_id", "turn_idx", "sent_idx", "start", "end", "surface",
         mk.alias("mk"),
     ).select(
-        "conv_id", "turn_idx", "sent_idx", "score", "start", "end", "surface",
+        "conv_id", "turn_idx", "sent_idx", "start", "end", "surface",
         F.col("mk")["k"].alias("match_key"),
         F.col("mk")["rank"].alias("rank"),
     )
@@ -455,10 +468,24 @@ def link_model_mentions(
                         ).alias("k"),
                         F.lit(0).alias("rank"),
                     ),
+                    # SYMMETRIC with the mention side: punctuation becomes
+                    # token boundaries BEFORE alias normalization, so a
+                    # punctuation-joined generic word is dropped on both
+                    # sides alike (dict "T-cell" -> "t cell" -> alias "t",
+                    # matching mention "T cell"/"T-cell"; without the
+                    # pre-split the dict key stayed "tcell" and the alias
+                    # tier could never link such terms)
                     F.struct(
                         F.when(
-                            F.length(alias_key_expr(F.col("term"))) > 0,
-                            alias_key_expr(F.col("term")),
+                            F.length(
+                                alias_key_expr(
+                                    F.regexp_replace(F.col("term"), "[^A-Za-z0-9]+", " ")
+                                )
+                            )
+                            > 0,
+                            alias_key_expr(
+                                F.regexp_replace(F.col("term"), "[^A-Za-z0-9]+", " ")
+                            ),
                         ).alias("k"),
                         F.lit(1).alias("rank"),
                     ),

@@ -160,12 +160,50 @@ def rp_lsh_signatures_udf(
     def sigs(emb: pd.Series) -> pd.Series:
         if emb.empty:
             return pd.Series([], dtype=object)
-        X = np.vstack(emb.to_numpy())  # batch × dim
-        B = (X.astype(np.float64) @ H >= 0).astype(np.int64)  # batch × planes
-        S = B.reshape(len(X), num_tables, bits) @ weights  # batch × tables
-        return pd.Series(list(S.astype(np.int32)))
+        vals = emb.to_numpy()
+        # degrade dirty vectors (NULL / wrong dimension) to NULL signatures
+        # — same semantics as the pure-expression path; one ragged row must
+        # not abort an index build over the whole corpus (np.vstack would
+        # raise inside the Arrow batch and fail the task)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vals), bool, len(vals)
+        )
+        out = np.empty(len(vals), dtype=object)
+        out[~ok] = None
+        if ok.any():
+            X = np.vstack(vals[ok])  # valid × dim
+            B = (X.astype(np.float64) @ H >= 0).astype(np.int64)  # valid × planes
+            S = B.reshape(int(ok.sum()), num_tables, bits) @ weights  # valid × tables
+            # element-wise assignment: `out[ok] = list(S)` re-stacks to 2-D
+            for j, row in zip(np.nonzero(ok)[0], S.astype(np.int32)):
+                out[j] = row
+        return pd.Series(list(out))
 
     return sigs
+
+
+def _check_index_params(index: DataFrame, **params: int) -> None:
+    """Validate a caller-supplied prebuilt index against this call's hash
+    parameters via the metadata build_lsh_index stamps on ``sig``. Probes
+    hashed with different parameters land in unrelated buckets and return
+    near-zero recall with no other symptom — fail loudly instead. Indexes
+    without the stamp (built before it existed) are accepted as-is."""
+    try:
+        meta = index.schema["sig"].metadata or {}
+    except (KeyError, TypeError):
+        raise ValueError(
+            "prebuilt index has no 'sig' column — not a build_lsh_index table"
+        ) from None
+    mismatched = {
+        k: (meta[k], v) for k, v in params.items() if k in meta and meta[k] != v
+    }
+    if mismatched:
+        raise ValueError(
+            "prebuilt LSH index was built with different hash parameters "
+            f"than this call: {mismatched} (index value, call value); "
+            "probes would hash into a different family and return "
+            "near-zero recall"
+        )
 
 
 def build_lsh_index(
@@ -189,11 +227,19 @@ def build_lsh_index(
         sigs = rp_lsh_signatures_udf(bits, num_tables, seed, dim)(F.col(vec_col))
     else:
         sigs = rp_lsh_signatures_expr(F.col(vec_col), bits, num_tables, seed, dim)
-    return corpus.select(
+    out = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_emb"),
         _norm(F.col(vec_col)).alias("c_norm"),
         F.posexplode(sigs).alias("tbl", "sig"),
+    )
+    # stamp the hash-family parameters into the sig column's metadata
+    # (survives parquet round trips): consumers that receive a prebuilt
+    # index validate their own parameters against it — a silent mismatch
+    # would bucket probes into a different hash family and return
+    # plausible-looking near-zero-recall results
+    return out.withMetadata(
+        "sig", {"bits": bits, "num_tables": num_tables, "seed": seed, "dim": dim}
     )
 
 
@@ -209,6 +255,7 @@ def embedding_near_dups(
     index: DataFrame | None = None,
     persist_index: bool = True,
     index_out: list | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup-family scale path.
 
@@ -231,9 +278,13 @@ def embedding_near_dups(
     one long-lived session accumulate cached partitions until the context
     cleaner reclaims them.
     """
-    c = index if index is not None else build_lsh_index(
-        corpus, bits, num_tables, seed, id_col, vec_col, dim
-    )
+    if index is not None:
+        _check_index_params(index, bits=bits, num_tables=num_tables, seed=seed, dim=dim)
+        c = index
+    else:
+        c = build_lsh_index(
+            corpus, bits, num_tables, seed, id_col, vec_col, dim, use_arrow
+        )
     if index is None and persist_index:
         c = c.persist()
         if index_out is not None:
@@ -282,9 +333,13 @@ def ann_lsh_topk(
     small fraction of |corpus|. Returns (q_id, vec_id, cos, rnk);
     approximate — rnk within candidates.
     """
-    c = index if index is not None else build_lsh_index(
-        corpus, bits, num_tables, seed, id_col, vec_col, dim, use_arrow
-    )
+    if index is not None:
+        _check_index_params(index, bits=bits, num_tables=num_tables, seed=seed, dim=dim)
+        c = index
+    else:
+        c = build_lsh_index(
+            corpus, bits, num_tables, seed, id_col, vec_col, dim, use_arrow
+        )
     if index is None and persist_index:
         c = c.persist()
 

@@ -265,7 +265,9 @@ def extract_spans(
     ].itertuples(index=False, name=None):
         nk = " ".join(norm_key(t, lemma_overrides) for t in term_tokens)
         dict_by_key.setdefault(nk, []).append((ent_id, term, label))
-        ak = alias_key(term)
+        # symmetric with the mention side: punctuation -> token boundaries
+        # BEFORE alias normalization (mirror of link_model_mentions)
+        ak = alias_key(re.sub(r"[^A-Za-z0-9]+", " ", term))
         if ak:
             dict_by_akey.setdefault(ak, []).append((ent_id, term, label))
     t = transcripts.dropna(subset=["text", "conv_id"]).drop_duplicates(

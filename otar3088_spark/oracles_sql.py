@@ -382,8 +382,10 @@ dkeys AS MATERIALIZED (
     SELECT array_to_string(list_transform(tt, t -> {_norm_case_sql("t")}), ' ') AS dkey,
            0 AS rnk, term, label, ent_id FROM dictn
     UNION
-    SELECT {_akey_sql('term')}, 1, term, label, ent_id FROM dictn
-    WHERE length({_akey_sql('term')}) > 0
+    -- symmetric with the mention side: punctuation -> token boundaries
+    -- before alias normalization (mirror of link_model_mentions)
+    SELECT {_akey_sql("regexp_replace(term, '[^A-Za-z0-9]+', ' ', 'g')")}, 1, term, label, ent_id FROM dictn
+    WHERE length({_akey_sql("regexp_replace(term, '[^A-Za-z0-9]+', ' ', 'g')")}) > 0
 ),
 linkedm AS MATERIALIZED (
     SELECT conv_id, turn_idx, sent_idx, start, "end", term, label, ent_id, surface

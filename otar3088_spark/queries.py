@@ -509,12 +509,17 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     a, b = d.alias("a"), d.alias("b")
+    # node ids stay NUMERIC: component = min reachable doc_id must be the
+    # numeric min to match the oracle's min(comp) over bigints — string ids
+    # would make min lexicographic ("10" < "8") and diverge on any same-lang
+    # chain crossing a power-of-ten boundary (latent until the data has one;
+    # the operator itself is key-type generic)
     edges = a.join(
         b,
         (F.col("b.doc_id") == F.col("a.doc_id") + 1) & (F.col("a.lang") == F.col("b.lang")),
     ).select(
-        F.col("a.doc_id").cast("string").alias("src"),
-        F.col("b.doc_id").cast("string").alias("dst"),
+        F.col("a.doc_id").cast("bigint").alias("src"),
+        F.col("b.doc_id").cast("bigint").alias("dst"),
     )
     # force the distributed iterative path (small_graph_threshold=0) — this
     # query exists to verify min-label propagation + pointer jumping against

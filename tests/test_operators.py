@@ -718,3 +718,88 @@ def test_stdlib_media_codecs_decode_real_bytes(spark):
     ppm16 = b"P6\n2 2\n65535\n" + bytes(24)
     with _pytest.raises(NotImplementedError):
         stdlib_decode(ppm16, "image")
+
+
+def test_alias_link_symmetric_punctuation_split(spark):
+    """The rank-1 alias tier must normalize BOTH sides identically:
+    punctuation becomes a token boundary before generic-word stripping, so
+    dictionary 'T-cell' (alias key 't') links mention surfaces 'T cell',
+    'T-cell' and 'T cells' — previously the dict side kept 'tcell' and the
+    alias tier could never link punctuation-joined generic words."""
+    from otar3088_spark.operators.inference import link_model_mentions
+    from otar3088_spark.operators.tagging import prepare_dictionary
+
+    d = prepare_dictionary(
+        spark.createDataFrame(
+            [("T1", "T-cell", "CellType", "T1")],
+            ["ent_id", "term", "label", "canonical_id"],
+        )
+    )
+    rows = []
+    for i, surf in enumerate(["T cell", "T-cell", "T cells"]):
+        rows.append(("c0", 0, i, 0, len(surf), surf, 0.9))
+    ms = spark.createDataFrame(
+        rows,
+        ["conv_id", "turn_idx", "sent_idx", "start", "end", "surface", "score"],
+    )
+    linked = link_model_mentions(ms, d)
+    got = {(r["sent_idx"], r["ent_id"]) for r in linked.collect()}
+    assert got == {(0, "T1"), (1, "T1"), (2, "T1")}
+
+
+def test_model_mentions_scorer_length_mismatch_raises(spark):
+    """A scorer returning fewer span lists than input rows must fail loudly
+    (a bare zip silently truncated — trailing sentences lost all mentions)."""
+    from otar3088_spark.operators.inference import model_mentions
+
+    sents = spark.createDataFrame(
+        [("c0", 0, i, f"text {i}") for i in range(4)],
+        ["conv_id", "turn_idx", "sent_idx", "sent_text"],
+    )
+
+    def bad_scorer(texts):
+        return [[] for _ in range(len(texts) - 1)]  # one short
+
+    with pytest.raises(Exception, match="span lists"):
+        model_mentions(sents, scorer=bad_scorer, batch_key="bad-scorer").collect()
+
+
+def test_lsh_index_dirty_vectors_degrade_to_null(spark):
+    """One NULL or wrong-dimension embedding must not abort the index build
+    (np.vstack raised inside the Arrow batch) — dirty rows degrade to NULL
+    signatures and simply produce no index rows."""
+    from otar3088_spark.operators.similarity import build_lsh_index
+
+    rows = [
+        (1, [float(i) for i in range(64)]),
+        (2, None),
+        (3, [1.0, 2.0]),  # wrong dimension
+        (4, [float(64 - i) for i in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    idx = build_lsh_index(df, bits=4, num_tables=2)
+    got = {r["vec_id"] for r in idx.select("vec_id").distinct().collect()}
+    assert got == {1, 4}  # clean vectors indexed, dirty ones dropped
+
+
+def test_lsh_prebuilt_index_param_mismatch_raises(spark):
+    """A prebuilt index consumed with different hash parameters buckets
+    probes into a different family and silently returns near-zero recall —
+    the stamped sig metadata must make that a loud error."""
+    from otar3088_spark.operators.similarity import (
+        ann_lsh_topk,
+        build_lsh_index,
+        embedding_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(64)]) for i in range(8)],
+        ["vec_id", "embedding"],
+    )
+    idx = build_lsh_index(df, bits=8, num_tables=4)
+    with pytest.raises(ValueError, match="different hash parameters"):
+        ann_lsh_topk(df, df.limit(2), index=idx, bits=6, num_tables=16)
+    with pytest.raises(ValueError, match="different hash parameters"):
+        embedding_near_dups(df, index=idx, bits=6)
+    # matching parameters pass
+    ann_lsh_topk(df, df.limit(2), index=idx, bits=8, num_tables=4).collect()
