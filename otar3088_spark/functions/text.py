@@ -36,7 +36,13 @@ _HEADER_TITLES = (
 
 
 def clean_text_expr(col: Column) -> Column:
-    """F1+F2: normalize raw turn text to single-spaced clean text."""
+    """F1+F2: normalize raw turn text to single-spaced clean text.
+
+    Brace groups are stripped in ONE pass (innermost only): nested groups
+    leave the outer braces behind. That is deliberate reference parity —
+    the reference's own ``re.sub(r"\\{.*?\\}", ...)`` is also single-pass
+    and leaks braces on nesting (split2sent_par.py:170); the pandas oracle
+    mirrors this expression exactly."""
     c = F.regexp_replace(col, _LATEX_GROUP, " ")
     c = F.regexp_replace(c, _LATEX_CMD, " ")
     c = F.regexp_replace(c, _CITATION, " ")
@@ -104,7 +110,14 @@ SENTENCE_ABBREVS = (
 
 def sentence_boundary_pattern() -> str:
     """The shared sentence-boundary regex: ``[.!?]`` + space, suppressed after
-    a protected abbreviation or a single capital initial ("J. Smith")."""
+    a protected abbreviation or a single capital initial ("J. Smith").
+
+    Known trade-off: the initials guard also suppresses genuine boundaries
+    after single-capital biomedical nouns ("hepatitis B. Treatment began.")
+    — a deterministic under-split both the engine and every oracle apply
+    identically. Distinguishing initials from such nouns needs lookahead
+    context a fixed-width lookbehind cannot express; spaCy's sentencizer
+    makes the same class of trade-offs, just with different instances."""
     guards = "".join(
         r"(?<!\b" + a.replace(".", r"\.") + ")" for a in SENTENCE_ABBREVS
     )

@@ -131,7 +131,14 @@ def jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_k)).alias("sh")
     ).distinct()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc set sizes straight from the doc row (array_distinct + size) —
+    # computing them from `sh` would add a THIRD consumer of the exploded/
+    # distinct subplan (s1 + s2 already consume it twice) and re-shingle
+    # the corpus once more when ReuseExchange doesn't kick in
+    sizes = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(shingles_expr(F.col(text_col), shingle_k))).alias("sz"),
+    )
     s1 = sh.select(F.col("id").alias("id1"), F.col("sh"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("sh"))
     inter = (

@@ -44,8 +44,14 @@ def normalize_turns(
     conv-level skew because downstream stages never need conv-locality until
     the final groupBys (which re-shuffle on their own keys anyway).
     """
+    # turn_idx too: it is half the dedup/join key — NULL-keyed rows would
+    # collapse into ONE group here (groupBy treats NULL keys as equal,
+    # silently dropping distinct turns) and the survivor could never match
+    # an equi-join on turn_idx downstream anyway
     filtered = transcripts.filter(
-        F.col("text").isNotNull() & F.col("conv_id").isNotNull()
+        F.col("text").isNotNull()
+        & F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
     )
     if drop_headers:
         # before the dedup aggregate so header rows never enter the shuffle

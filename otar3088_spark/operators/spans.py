@@ -90,6 +90,17 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     # overlaps deterministically. One join + per-row expressions; core/lead
     # derived inline from tokens (regexes per token beat materializing
     # parallel arrays — this path is allocation-bandwidth bound).
+    def _covered(p, s, raw_len, cs, ce, core_len):
+        # core tokens: covered iff the CORE extent fits the span (see the
+        # "HeLa." note above). Punctuation-only tokens (empty core) have no
+        # core extent; they are covered iff their RAW extent fits — so an
+        # external span over "poly ( ADP-ribose ) polymerase" tags the
+        # interior "(" / ")" I- instead of O, which previously fragmented
+        # one annotation into three B- spans on the IOB round trip.
+        return F.when(
+            core_len > 0, (cs >= p["start"]) & (ce <= p["end"])
+        ).otherwise((s >= p["start"]) & ((s + raw_len) <= p["end"]))
+
     def tag_at(t, i):
         s = F.element_at(F.col("starts"), i + 1)
         lead = token_lead_expr(t)
@@ -98,7 +109,7 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
         ce = cs + core_len
         covering = F.filter(
             F.col("sp"),
-            lambda p: (core_len > 0) & (cs >= p["start"]) & (ce <= p["end"]),
+            lambda p: _covered(p, s, F.length(t), cs, ce, core_len),
         )
         prev_t = F.try_element_at(F.col("toks"), i)  # 1-based: i == previous
         prev_s = F.try_element_at(F.col("starts"), i)
@@ -107,10 +118,8 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
         prev_ce = prev_cs + prev_core_len
 
         def is_first(p):
-            prev_cov = (
-                (prev_core_len > 0)
-                & (prev_cs >= p["start"])
-                & (prev_ce <= p["end"])
+            prev_cov = _covered(
+                p, prev_s, F.length(prev_t), prev_cs, prev_ce, prev_core_len
             )
             return (i == 0) | ~F.coalesce(prev_cov, F.lit(False))
 
@@ -144,6 +153,11 @@ def iob_to_spans(iob: DataFrame, merge_subwords: bool = False) -> DataFrame:
     ``merge_subwords=True`` the F19 ``##`` subword merge is applied to the
     reconstructed span text (``"HeLa cell ##s" -> "HeLa cells"``), for IOB
     streams produced at subword granularity (align_subword_labels_expr)."""
+    # rows with empty tag arrays produce no spans — and MUST be filtered
+    # before the index algebra: sequence(0, size-1) on size 0 yields a
+    # DESCENDING [0, -1] whose try_element_at(tags, 0) raises
+    # INVALID_INDEX_OF_ZERO and aborts the job
+    iob = iob.filter(F.size("tags") > 0)
     tags, toks = F.col("tags"), F.col("tokens")
     idxs = F.sequence(F.lit(0), F.size(tags) - 1)
     b_pos = F.filter(idxs, lambda i: F.try_element_at(tags, i + 1).startswith("B-"))
@@ -218,6 +232,9 @@ def segment_turns(
     def segs(text: pd.Series, ents: pd.Series) -> pd.Series:
         out = []
         for t, es in zip(text, ents):
+            if not t:  # NULL/empty text -> no segments (len(None) would raise)
+                out.append([])
+                continue
             entities = sorted((int(e["start"]), int(e["end"])) for e in (es or []))
             res, cur, idx = [], 0, 0
             while cur < len(t):

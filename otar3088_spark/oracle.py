@@ -270,7 +270,7 @@ def extract_spans(
         ak = alias_key(re.sub(r"[^A-Za-z0-9]+", " ", term))
         if ak:
             dict_by_akey.setdefault(ak, []).append((ent_id, term, label))
-    t = transcripts.dropna(subset=["text", "conv_id"]).drop_duplicates(
+    t = transcripts.dropna(subset=["text", "conv_id", "turn_idx"]).drop_duplicates(
         subset=["conv_id", "turn_idx"]
     )
     t = t[~t["text"].str.strip().str.lower().str.match(HEADER_RE)]

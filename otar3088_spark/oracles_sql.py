@@ -415,7 +415,7 @@ merged AS MATERIALIZED (
 WITH RECURSIVE raw AS (
     SELECT DISTINCT conv_id, turn_idx::INT AS turn_idx, text
     FROM read_parquet('{tdir}/transcripts.parquet')
-    WHERE text IS NOT NULL AND conv_id IS NOT NULL
+    WHERE text IS NOT NULL AND conv_id IS NOT NULL AND turn_idx IS NOT NULL
       AND NOT regexp_matches(lower(trim(text)), '^({headers})$')
       AND NOT regexp_matches(lower(trim(text)), '^pmc[0-9]+$')
 ),

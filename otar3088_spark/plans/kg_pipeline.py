@@ -188,7 +188,11 @@ def validate_alignment(spans: DataFrame, sentences: DataFrame) -> DataFrame:
         ["conv_id", "turn_idx", "sent_idx"],
         "left",
     )
+    # surface IS NULL must count as a violation: the inequality evaluates
+    # to NULL for NULL surface and filter() would drop exactly the broken
+    # rows this check exists to catch
     return j.filter(
         F.col("sent_text").isNull()
+        | F.col("surface").isNull()
         | (F.expr("substring(sent_text, start + 1, end - start)") != F.col("surface"))
     )

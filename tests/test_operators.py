@@ -803,3 +803,58 @@ def test_lsh_prebuilt_index_param_mismatch_raises(spark):
         embedding_near_dups(df, index=idx, bits=6)
     # matching parameters pass
     ann_lsh_topk(df, df.limit(2), index=idx, bits=8, num_tables=4).collect()
+
+
+def test_spans_to_iob_interior_punctuation_token(spark):
+    """An external (BioC-style) span covering 'poly ( ADP-ribose ) polymerase'
+    must round-trip as ONE entity: interior punctuation-only tokens get I-
+    via their raw extent (previously O, fragmenting the span into three)."""
+    from otar3088_spark.operators.spans import iob_to_spans, spans_to_iob
+
+    sent = "poly ( ADP-ribose ) polymerase binds"
+    sents = spark.createDataFrame(
+        [("c0", 0, 0, sent)], ["conv_id", "turn_idx", "sent_idx", "sent_text"]
+    )
+    spans = spark.createDataFrame(
+        [("c0", 0, 0, 0, len("poly ( ADP-ribose ) polymerase"), "Protein")],
+        ["conv_id", "turn_idx", "sent_idx", "start", "end", "label"],
+    )
+    iob = spans_to_iob(sents, spans)
+    (row,) = iob.collect()
+    assert row["tags"] == ["B-Protein", "I-Protein", "I-Protein", "I-Protein", "I-Protein", "O"]
+    back = iob_to_spans(iob).collect()
+    assert [(r["start_pos"], r["end_pos"], r["text"], r["label"]) for r in back] == [
+        (0, 4, "poly ( ADP-ribose ) polymerase", "Protein")
+    ]
+
+
+def test_iob_to_spans_empty_tag_row(spark):
+    """Rows with empty token/tag arrays must produce no spans — not abort
+    the job with INVALID_INDEX_OF_ZERO from the descending sequence(0,-1)."""
+    from otar3088_spark.operators.spans import iob_to_spans
+
+    iob = spark.createDataFrame(
+        [
+            ("c0", 0, 0, [], []),
+            ("c0", 0, 1, ["HeLa", "grew"], ["B-CellLine", "O"]),
+        ],
+        ["conv_id", "turn_idx", "sent_idx", "tokens", "tags"],
+    )
+    got = iob_to_spans(iob).collect()
+    assert len(got) == 1 and got[0]["text"] == "HeLa"
+
+
+def test_validate_alignment_null_surface_is_violation(spark):
+    """A NULL surface must be REPORTED: the inequality evaluates to NULL and
+    a bare filter would silently pass exactly the broken rows."""
+    from otar3088_spark.plans.kg_pipeline import validate_alignment
+
+    sents = spark.createDataFrame(
+        [("c0", 0, 0, "HeLa grew")], ["conv_id", "turn_idx", "sent_idx", "sent_text"]
+    )
+    spans = spark.createDataFrame(
+        [("c0", 0, 0, 0, 4, None), ("c0", 0, 0, 0, 4, "HeLa")],
+        "conv_id string, turn_idx int, sent_idx int, start int, end int, surface string",
+    )
+    bad = validate_alignment(spans, sents).collect()
+    assert len(bad) == 1 and bad[0]["surface"] is None
