@@ -52,23 +52,32 @@ class SnapshotStore:
     def write(self, df: DataFrame, stage: str, mode: str = "error") -> dict:
         """Write a stage: parquet data + per-partition lineage + manifest.
 
-        The lineage aggregation (rows per spark partition) runs over the
-        *written* files so counts reflect durable state, not the pre-write
-        plan. Manifest write is atomic (tmp + rename) — a crash mid-write
-        leaves the stage uncommitted and a re-run redoes it idempotently.
+        The lineage aggregation runs over the *written* files so counts
+        reflect durable state, not the pre-write plan — and it is keyed by
+        FILE (input_file_name), not by read-split id: read splits depend on
+        spark.sql.files.maxPartitionBytes and would describe no durable
+        object (the same data re-read under a different split size would
+        yield a different "lineage"). Per-file rows are exactly the
+        north-rule per-partition lineage a resume can check against the
+        directory listing. Manifest write is atomic (tmp + rename) — a
+        crash mid-write leaves the stage uncommitted and a re-run redoes it
+        idempotently.
         """
         d = self._stage_dir(stage)
         data_dir = os.path.join(d, "data")
-        df.write.mode("overwrite" if mode == "overwrite" else mode).parquet(data_dir)
+        df.write.mode(mode).parquet(data_dir)
 
         spark = df.sparkSession
         written = spark.read.parquet(data_dir)
-        lineage = [
-            {"partition_id": r["pid"], "rows": r["rows"]}
-            for r in written.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        ]
+        lineage = sorted(
+            (
+                {"file": os.path.basename(r["f"]), "rows": r["rows"]}
+                for r in written.groupBy(F.input_file_name().alias("f"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            ),
+            key=lambda p: p["file"],
+        )
         man = {
             "stage": stage,
             "run_id": self.run_id,
@@ -157,7 +166,13 @@ def write_iceberg(
             "(same snapshot/resume contract — see BENCH/ICEBERG_READINESS.md)"
         )
     writer = df.writeTo(table)
-    if bucket_conv_id:
+    # DataFrameWriterV2 honors partitionedBy ONLY at table creation
+    # (create/replace/createOrReplace); attaching it to overwritePartitions
+    # or append would be silently ignored — the table keeps the layout it
+    # was created with. So the bucket layout is applied exactly where it
+    # takes effect, and the jobs/kg_submit.py bootstrap (create first run,
+    # dynamic overwrite after) gets the bucketing on the create.
+    if bucket_conv_id and mode == "create_or_replace":
         writer = writer.partitionedBy(F.bucket(bucket_conv_id, F.col("conv_id")))
     if mode == "replace_partitions":
         writer.overwritePartitions()

@@ -84,6 +84,17 @@ def read_bioc_passages(spark: SparkSession, path: str) -> DataFrame:
     text)``. Each input line is one BioC response (a JSON array of
     collections) — the standard dump format for the reference's per-PMID
     fetch loop."""
+    return _passages(spark, path).select(
+        "doc_id",
+        "passage_idx",
+        F.col("p")["infons"]["section_type"].alias("section_type"),
+        F.col("p")["offset"].alias("offset"),
+        F.col("p")["text"].alias("text"),
+    )
+
+
+def _passages(spark: SparkSession, path: str) -> DataFrame:
+    """Shared raw -> collection -> documents -> passages explode chain."""
     raw = spark.read.text(path).select(
         F.from_json(F.col("value"), BIOC_SCHEMA).alias("coll")
     )
@@ -94,44 +105,29 @@ def read_bioc_passages(spark: SparkSession, path: str) -> DataFrame:
             F.col("d")["id"].alias("doc_id"),
             F.posexplode(F.col("d")["passages"]).alias("passage_idx", "p"),
         )
-        .select(
-            "doc_id",
-            "passage_idx",
-            F.col("p")["infons"]["section_type"].alias("section_type"),
-            F.col("p")["offset"].alias("offset"),
-            F.col("p")["text"].alias("text"),
-        )
     )
 
 
 def read_bioc_annotations(spark: SparkSession, path: str) -> DataFrame:
     """One row per annotation span: ``(doc_id, passage_idx, ann_id, ann_type,
-    start, end, text)`` with offsets document-absolute (BioC convention)."""
-    raw = spark.read.text(path).select(
-        F.from_json(F.col("value"), BIOC_SCHEMA).alias("coll")
+    start, end, text)`` with offsets document-absolute (BioC convention).
+    Discontinuous annotations (multiple locations) collapse to the covering
+    extent — first location's start, last location's end — the same
+    convention the BRAT reader applies to discontinuous ``;`` spans."""
+    anns = _passages(spark, path).select(
+        "doc_id",
+        "passage_idx",
+        F.explode(F.col("p")["annotations"]).alias("a"),
     )
-    anns = (
-        raw.select(F.explode("coll").alias("c"))
-        .select(F.explode(F.col("c")["documents"]).alias("d"))
-        .select(
-            F.col("d")["id"].alias("doc_id"),
-            F.posexplode(F.col("d")["passages"]).alias("passage_idx", "p"),
-        )
-        .select(
-            "doc_id",
-            "passage_idx",
-            F.explode_outer(F.col("p")["annotations"]).alias("a"),
-        )
-        .filter(F.col("a").isNotNull())
-    )
-    loc = F.element_at(F.col("a")["locations"], 1)
+    loc1 = F.element_at(F.col("a")["locations"], 1)
+    locN = F.element_at(F.col("a")["locations"], -1)
     return anns.select(
         "doc_id",
         "passage_idx",
         F.col("a")["id"].alias("ann_id"),
         F.col("a")["infons"]["type"].alias("ann_type"),
-        loc["offset"].cast("int").alias("start"),
-        (loc["offset"] + loc["length"]).cast("int").alias("end"),
+        loc1["offset"].cast("int").alias("start"),
+        (locN["offset"] + locN["length"]).cast("int").alias("end"),
         F.col("a")["text"].alias("text"),
     )
 

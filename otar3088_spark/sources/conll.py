@@ -50,11 +50,18 @@ def read_conll(spark: SparkSession, path: str, sep: str = "\t") -> DataFrame:
 
 def conll_lines(iob: DataFrame, sep: str = "\t") -> DataFrame:
     """K2 sink: token/tag arrays -> one text row per sentence (token<sep>tag
-    lines joined by \\n, sentences separated by the writer's newline). Write
-    with ``df.select("value").write.text(path)``."""
+    lines joined by \\n). Each value ends with a trailing \\n so the text
+    writer's own newline produces the BLANK line that separates sentences —
+    without it consecutive sentences run together and a CoNLL reader (ours
+    included) merges every sentence in the file into one. Write with
+    ``df.select("value").write.text(path)``; round-trips through
+    ``read_conll``."""
     return iob.select(
-        F.concat_ws(
-            "\n",
-            F.zip_with("tokens", "tags", lambda t, g: F.concat_ws(sep, t, g)),
+        F.concat(
+            F.concat_ws(
+                "\n",
+                F.zip_with("tokens", "tags", lambda t, g: F.concat_ws(sep, t, g)),
+            ),
+            F.lit("\n"),
         ).alias("value")
     )

@@ -184,8 +184,11 @@ def write_hf_dataset(
     # partitions) or one 0-row shard; silently "replacing" an existing
     # generation with nothing (or emitting a split whose data_files glob
     # matches no real data) would corrupt the dataset — refuse with the
-    # old generation untouched. Footer-only row count.
-    if not parts or sum(pq.read_metadata(p).num_rows for p in parts) == 0:
+    # old generation untouched. Footers read ONCE here, reused below for
+    # num_examples (2x metadata GETs per shard would double the commit
+    # path's object-store round trips).
+    shard_rows = [pq.read_metadata(p).num_rows for p in parts]
+    if not parts or sum(shard_rows) == 0:
         _abort(f"refusing to write split {split!r} from an empty DataFrame")
     if others:
         prev_schema = pq.read_schema(others[0])
@@ -207,7 +210,7 @@ def write_hf_dataset(
     # complete-data state, never a lost generation.
     n = len(parts)
     new_names = [f"{split}-{i:05d}-of-{n:05d}.parquet" for i in range(n)]
-    num_examples = sum(pq.read_metadata(part).num_rows for part in parts)
+    num_examples = sum(shard_rows)
     for part, name in zip(parts, new_names):  # footers all read above — install
         os.replace(part, data_dir / name)
     shard_names = [f"data/{name}" for name in new_names]

@@ -78,12 +78,18 @@ def ls_json_lines(sent_spans: DataFrame) -> DataFrame:
 
 def parse_ls_json(df: DataFrame, json_col: str = "value") -> DataFrame:
     """Reader: LabelStudio JSON lines -> flattened span rows (text, start,
-    end, surface, label). Inverse of ls_json_lines modulo keys."""
+    end, surface, label). Inverse of ls_json_lines modulo keys.
+
+    Unannotated tasks (empty/null ``annotations`` or ``result`` — real
+    exports contain them for skipped documents) are PRESERVED as one row
+    with null span columns: an inner explode would silently drop their text
+    from any corpus-level consumer. Filter ``start IS NOT NULL`` for
+    span-only use."""
     p = df.withColumn("j", F.from_json(F.col(json_col), LS_SCHEMA))
     ex = p.select(
         F.col("j")["data"]["text"].alias("text"),
-        F.explode(F.col("j")["annotations"]).alias("ann"),
-    ).select("text", F.explode(F.col("ann")["result"]).alias("r"))
+        F.explode_outer(F.col("j")["annotations"]).alias("ann"),
+    ).select("text", F.explode_outer(F.col("ann")["result"]).alias("r"))
     return ex.select(
         "text",
         F.col("r")["value"]["start"].alias("start"),

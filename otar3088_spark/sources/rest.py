@@ -43,9 +43,19 @@ def fake_fetcher(query: str, page: int) -> list[tuple[str, str, str]]:
     import hashlib
 
     n = 3 + hashlib.md5(f"{query}|{page}".encode()).digest()[0] % 3
+    # ids via hashlib, NOT the builtin hash(): string hashing is
+    # PYTHONHASHSEED-salted per process, so builtin-hash ids would differ
+    # between runs/workers and break the documented idempotent-re-run
+    # contract (the snapshot store would dedup nothing)
     return [
         (
-            f"PMC{abs(hash((query, page, i))) % 10_000_000:07d}",
+            "PMC"
+            + str(
+                int.from_bytes(
+                    hashlib.md5(f"{query}|{page}|{i}".encode()).digest()[:4], "big"
+                )
+                % 10_000_000
+            ).zfill(7),
             f"{query} result {page}-{i}",
             "journal article" if i % 4 else "retraction of publication",
         )
@@ -63,9 +73,18 @@ def fetch_search_results(
     (query, page) make re-runs idempotent — pair with the snapshot store to
     skip completed fetches."""
 
+    # per-FETCHER session key: a reused Python worker (the default) must
+    # never serve a previously-cached fetcher to a job that passed a
+    # different one — the cache exists to share connection state across
+    # batches of ONE fetcher, not to pin the first fetcher forever
+    fkey = (
+        "fetcher:"
+        + ("fake" if fetcher is None else f"{fetcher.__module__}.{getattr(fetcher, '__qualname__', repr(fetcher))}")
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        f = _SESSION.get("fetcher") or fetcher or fake_fetcher
-        _SESSION["fetcher"] = f
+        f = _SESSION.get(fkey) or fetcher or fake_fetcher
+        _SESSION[fkey] = f
         for pdf in batches:
             rows = []
             for q in pdf["search_query"]:

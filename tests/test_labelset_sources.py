@@ -408,3 +408,101 @@ def test_hf_dataset_card_nested_sequence(spark, tmp_path):
     assert "- name: tok_vecs" in card
     assert "sequence:\n      sequence: float64" in card
     assert read_hf_dataset(spark, str(out), "train").count() == 2
+
+
+def test_conll_sink_roundtrips_through_reader(spark, tmp_path):
+    """K2 write -> read round trip: each sentence's value ends with a
+    trailing newline so the text writer's own newline yields the BLANK
+    separator line — without it every sentence in a file merged into one."""
+    from otar3088_spark.sources.conll import conll_lines, read_conll
+
+    iob = spark.createDataFrame(
+        [
+            ("a", 0, ["HeLa", "cells", "grew"], ["B-CellLine", "I-CellLine", "O"]),
+            ("a", 1, ["aspirin", "helps"], ["B-Drug", "O"]),
+        ],
+        ["conv_id", "sent_idx", "tokens", "tags"],
+    )
+    out = tmp_path / "sink.conll"
+    conll_lines(iob).coalesce(1).select("value").write.mode("overwrite").text(str(out))
+    back = read_conll(spark, str(out))
+    got = {
+        (tuple(r["tokens"]), tuple(r["tags"])) for r in back.collect()
+    }
+    assert got == {
+        (("HeLa", "cells", "grew"), ("B-CellLine", "I-CellLine", "O")),
+        (("aspirin", "helps"), ("B-Drug", "O")),
+    }
+
+
+def test_bioc_discontinuous_annotation_covering_extent(spark, tmp_path):
+    """Multi-location BioC annotations collapse to (first start, last end) —
+    the BRAT discontinuous-span convention — not the first fragment only."""
+    import json
+
+    from otar3088_spark.sources.bioc import read_bioc_annotations
+
+    coll = [{
+        "documents": [{
+            "id": "D1",
+            "passages": [{
+                "infons": {"section_type": "abstract"},
+                "offset": 0,
+                "text": "dorsal and ventral roots",
+                "annotations": [{
+                    "id": "A1",
+                    "infons": {"type": "Anatomy"},
+                    "text": "dorsal roots",
+                    "locations": [
+                        {"offset": 0, "length": 6},
+                        {"offset": 19, "length": 5},
+                    ],
+                }],
+            }],
+        }],
+    }]
+    p = tmp_path / "bioc.jsonl"
+    p.write_text(json.dumps(coll) + "\n")
+    (row,) = read_bioc_annotations(spark, str(p)).collect()
+    assert (row["start"], row["end"]) == (0, 24)
+
+
+def test_parse_ls_json_preserves_unannotated_tasks(spark):
+    """Unannotated LabelStudio tasks (empty annotations/result) keep their
+    text row with null span columns instead of vanishing."""
+    import json
+
+    from otar3088_spark.sources.labelstudio import parse_ls_json
+
+    lines = [
+        json.dumps({"data": {"text": "unlabeled sentence"}, "annotations": [{"result": []}]}),
+        json.dumps({
+            "data": {"text": "HeLa grew"},
+            "annotations": [{"result": [{
+                "value": {"start": 0, "end": 4, "text": "HeLa", "labels": ["CellLine"]}
+            }]}],
+        }),
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    got = parse_ls_json(df).collect()
+    by_text = {r["text"]: r for r in got}
+    assert len(got) == 2
+    assert by_text["unlabeled sentence"]["start"] is None
+    assert by_text["HeLa grew"]["surface"] == "HeLa"
+
+
+def test_snapshot_manifest_per_file_lineage(spark, tmp_path):
+    """Manifest lineage is keyed by durable FILE, not read-split id: entries
+    must name actual parquet files whose row counts sum to total_rows."""
+    from otar3088_spark.io.checkpoint import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    df = spark.range(100).selectExpr("cast(id as string) as conv_id", "id as turn_idx")
+    man = store.write(df.repartition(4), "stage1", mode="overwrite")
+    assert man["total_rows"] == 100
+    assert man["n_partitions"] == len(man["partition_lineage"]) > 0
+    data = tmp_path / "snap" / "stage1" / "data"
+    on_disk = {p.name for p in data.glob("*.parquet")}
+    for entry in man["partition_lineage"]:
+        assert entry["file"] in on_disk
+    assert sum(e["rows"] for e in man["partition_lineage"]) == 100
