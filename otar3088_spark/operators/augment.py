@@ -40,9 +40,14 @@ def augment_with_gazetteer(
     key_hash = F.xxhash64(F.lit(seed), "conv_id", "turn_idx", "sent_idx")
     selected = (F.pmod(key_hash, F.lit(1_000_000)) / 1_000_000.0) < p_swap
 
-    # first B- span: position + its label + span length (B + following I-)
+    # first B- span: position + its label + span length (B + following I-).
+    # greatest(..., 0) guards empty tag arrays: sequence(0, -1) is a
+    # DESCENDING [0, -1] whose element access raises INVALID_INDEX_OF_ZERO
+    # (the hazard iob_to_spans documents); with the clamp an empty row
+    # yields [0] -> NULL lookup -> no B- found -> clean unaugmented
+    # passthrough.
     tags = F.col("tags")
-    idxs = F.sequence(F.lit(0), F.size(tags) - 1)
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(tags) - 1, F.lit(0)))
     b_positions = F.filter(
         idxs, lambda i: F.try_element_at(tags, i + 1).startswith("B-")
     )

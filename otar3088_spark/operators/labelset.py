@@ -36,7 +36,11 @@ def rename_labels(iob: DataFrame, mapping: dict[str, str], tags_col: str = "tags
         prefix = F.substring(t, 1, 2)
         base = F.regexp_replace(t, "^[BI]-", "")
         renamed = F.coalesce(m[base], base)
-        return F.when(t == "O", t).otherwise(F.concat(prefix, renamed))
+        # rewrite ONLY B-/I- tags: anything else ('O', IOBES 'E-'/'S-',
+        # malformed tags) passes through untouched — concatenating a
+        # 2-char prefix with an unstripped base silently corrupted them
+        # ('E-Drug' -> 'E-E-Drug')
+        return F.when(t.rlike("^[BI]-"), F.concat(prefix, renamed)).otherwise(t)
 
     return iob.withColumn(tags_col, F.transform(F.col(tags_col), fix))
 
@@ -88,8 +92,30 @@ def encode_labels(
     )
 
 
-def train_val_split(df: DataFrame, val_fraction: float = 0.2, seed: int = 42):
-    """M6: seeded deterministic split (reference: train_test_split seed=42)."""
+def train_val_split(
+    df: DataFrame,
+    val_fraction: float = 0.2,
+    seed: int = 42,
+    key_cols: tuple[str, ...] | None = None,
+):
+    """M6: seeded split (reference: train_test_split seed=42).
+
+    With ``key_cols`` the split is LAYOUT-STABLE: membership is a seeded
+    xxhash64 threshold on the key, so the same row lands in the same split
+    whatever the partition count or cluster size — the only form that makes
+    "deterministic re-runs" true across environments (randomSplit is only
+    deterministic per partition layout). Without ``key_cols`` this falls
+    back to randomSplit for keyless tables, with that documented caveat.
+    Both forms split approximately (expected fraction, not exact counts)."""
+    if key_cols:
+        frac = (
+            F.pmod(
+                F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols]),
+                F.lit(1_000_000),
+            )
+            / 1_000_000.0
+        )
+        return df.filter(frac >= val_fraction), df.filter(frac < val_fraction)
     train, val = df.randomSplit([1.0 - val_fraction, val_fraction], seed=seed)
     return train, val
 
@@ -105,11 +131,23 @@ def gazetteer_from_iob(
     it is stable across partitionings."""
     from otar3088_spark.operators.spans import iob_to_spans
 
+    from pyspark.sql.window import Window
+
     spans = iob_to_spans(iob)
     dedup = spans.select("label", F.col("text").alias("entity")).distinct()
     ranked = dedup.withColumn("h", F.xxhash64(F.lit(seed), "entity"))
+    # cap BEFORE the per-label array is materialized: a window row_number
+    # bounds each task to the cap, whereas collect_list-then-slice
+    # concentrated ALL distinct entities of a label (millions, model-IOB
+    # corpora) into one task's array just to throw most of it away. Same
+    # output: rows ranked by (h, entity), first max_entities_per_type kept,
+    # array assembled from the already-capped set in the same order.
+    w = Window.partitionBy("label").orderBy(F.col("h").asc(), F.col("entity").asc())
+    capped = ranked.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_entities_per_type
+    )
     return (
-        ranked.groupBy("label")
-        .agg(F.slice(F.sort_array(F.collect_list(F.struct("h", "entity"))), 1, max_entities_per_type).alias("z"))
+        capped.groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("h", "entity"))).alias("z"))
         .select("label", F.transform("z", lambda s: s["entity"]).alias("entities"))
     )

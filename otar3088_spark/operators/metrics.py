@@ -28,11 +28,17 @@ def _prf(tp: F.Column, n_pred: F.Column, n_gold: F.Column):
 
 
 def span_prf_exact(pred: DataFrame, gold: DataFrame) -> DataFrame:
-    """Exact span-level P/R/F1 (seqeval 'strict' analogue)."""
-    p = pred.select(*SPAN_KEY).distinct()
-    g = gold.select(*SPAN_KEY).distinct()
+    """Exact span-level P/R/F1 (seqeval 'strict' analogue).
+
+    Both sides are persisted across the three counting actions: pred/gold
+    are typically full pipeline outputs, and without the cache each action
+    re-executes the whole upstream extraction DAG."""
+    p = pred.select(*SPAN_KEY).distinct().persist()
+    g = gold.select(*SPAN_KEY).distinct().persist()
     tp = p.join(g, SPAN_KEY, "inner").count()
     n_pred, n_gold = p.count(), g.count()
+    p.unpersist()
+    g.unpersist()
     spark = pred.sparkSession
     row = spark.createDataFrame([(tp, n_pred, n_gold)], ["tp", "n_pred", "n_gold"])
     pc, rc, f1 = _prf(F.col("tp").cast("double"), F.col("n_pred"), F.col("n_gold"))
@@ -49,8 +55,9 @@ def span_prf_partial(pred: DataFrame, gold: DataFrame) -> DataFrame:
     it overlaps any gold span of the same label in the same sentence.
     Interval-overlap join with equi-prefix keys (J8 shape)."""
     key = ["conv_id", "turn_idx", "sent_idx", "label"]
-    p = pred.select(*SPAN_KEY).distinct().alias("p")
-    g = gold.select(*SPAN_KEY).distinct().alias("g")
+    # persisted for the same reason as span_prf_exact: four actions follow
+    p = pred.select(*SPAN_KEY).distinct().persist().alias("p")
+    g = gold.select(*SPAN_KEY).distinct().persist().alias("g")
     cond = (
         (F.col("p.conv_id") == F.col("g.conv_id"))
         & (F.col("p.turn_idx") == F.col("g.turn_idx"))
@@ -62,6 +69,8 @@ def span_prf_partial(pred: DataFrame, gold: DataFrame) -> DataFrame:
     matched_pred = p.join(g, cond, "left_semi").count()
     matched_gold = g.join(p, cond, "left_semi").count()
     n_pred, n_gold = p.count(), g.count()
+    p.unpersist()
+    g.unpersist()
     spark = pred.sparkSession
     row = spark.createDataFrame(
         [(matched_pred, matched_gold, n_pred, n_gold)],
@@ -195,10 +204,12 @@ def nervaluate_4way(
 def triple_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """Order-insensitive (subj, pred, obj) set P/R/F1 — the BASELINE gate."""
     key = ["subj", "pred", "obj"]
-    p = pred.select(*key).distinct()
-    g = gold.select(*key).distinct()
+    p = pred.select(*key).distinct().persist()
+    g = gold.select(*key).distinct().persist()
     tp = p.join(g, key, "inner").count()
     n_pred, n_gold = p.count(), g.count()
+    p.unpersist()
+    g.unpersist()
     spark = pred.sparkSession
     row = spark.createDataFrame([(tp, n_pred, n_gold)], ["tp", "n_pred", "n_gold"])
     pc, rc, f1 = _prf(F.col("tp").cast("double"), F.col("n_pred"), F.col("n_gold"))

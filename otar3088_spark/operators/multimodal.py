@@ -110,6 +110,13 @@ def stdlib_decode(payload: bytes, kind: str, dim: int = 8) -> tuple[int, int, in
             while payload[pos : pos + 1] and not payload[pos : pos + 1].isspace():
                 t += payload[pos : pos + 1]
                 pos += 1
+            if not t.isdigit():
+                # truncated or malformed header: route to the codec seam
+                # (the documented contract) instead of int(b'') ValueError
+                # aborting the stage
+                raise NotImplementedError(
+                    "unparseable PPM header; inject codec= for this payload"
+                )
             toks.append(int(t))
         width, height, maxval = toks
         if maxval > 255:
@@ -176,7 +183,12 @@ def decode_and_featurize(
 def frame_sample(features: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame-sampling plan for videos: one row per sampled frame index —
     pure ``sequence``+``explode``, no Python."""
-    vids = features.filter(F.col("kind") == "video")
+    # n_frames <= 0 (corrupt/empty media from an injected codec) must yield
+    # zero sampled rows, not an illegal-sequence-boundaries error —
+    # sequence(0, -1, +5) is invalid with a positive step, so such rows are
+    # dropped before the sequence is ever built (explode of their empty
+    # index set would produce no rows anyway)
+    vids = features.filter((F.col("kind") == "video") & (F.col("n_frames") > 0))
     return vids.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),

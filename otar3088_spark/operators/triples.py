@@ -102,29 +102,59 @@ def causes_triples(events: DataFrame) -> DataFrame:
     ok = parsed.filter(
         F.col("ev.subject.Drug").isNotNull() & F.col("ev.Effect.text").isNotNull()
     )
-    return ok.select(
-        F.col("ev.subject.Drug").alias("subj"),
-        F.lit("causes").alias("pred"),
-        F.col("ev.Effect.text").alias("obj"),
-        F.col("conv_id"),
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.col("ev.Effect.start").cast("int").alias("span_start"),
-        F.lit(None).cast("int").alias("span_end"),
-    ).dropDuplicates(["subj", "pred", "obj", "conv_id", "turn_idx"])
+    # one row per (triple, turn): min span_start makes the survivor
+    # DETERMINISTIC — dropDuplicates on a key subset keeps whichever row a
+    # task sees first, so the surviving span_start would vary with
+    # partitioning/run order (mention_triples dedups on all TRIPLE_COLS for
+    # the same reason)
+    return (
+        ok.select(
+            F.col("ev.subject.Drug").alias("subj"),
+            F.lit("causes").alias("pred"),
+            F.col("ev.Effect.text").alias("obj"),
+            F.col("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("ev.Effect.start").cast("int").alias("span_start"),
+        )
+        .groupBy("subj", "pred", "obj", "conv_id", "turn_idx")
+        .agg(F.min("span_start").alias("span_start"))
+        .withColumn("span_end", F.lit(None).cast("int"))
+    )
 
 
 def graph_tables(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Project (nodes, edges) graph tables from the triple table."""
+    """Project (nodes, edges) graph tables from the triple table.
+
+    Node kinds are derived STRUCTURALLY from the predicate that produced
+    each id — not from id-shape regexes, which silently misclassified any
+    corpus whose conv_ids don't match a hardcoded prefix (a 'fuzz_0000:3'
+    turn locator is a turn because it is the subject of a ``mentions``
+    triple, whatever it looks like). An id appearing in several roles takes
+    the highest-priority kind (entity > turn > label > literal) so e.g. a
+    cluster id that is both ``mentions``-object and ``same_as``-object is
+    one 'entity' node."""
+    pred = F.col("pred")
+    subj_kind = (
+        F.when(pred == "mentions", "turn")
+        .when(pred.isin("is_a", "same_as"), "entity")
+        .otherwise("literal")  # linked_to surface forms, causes drugs
+    )
+    obj_kind = (
+        F.when(pred == "is_a", "label")
+        .when(pred.isin("mentions", "same_as", "linked_to"), "entity")
+        .otherwise("literal")  # causes effects
+    )
+    pairs = triples.select(F.col("subj").alias("id"), subj_kind.alias("kind")).union(
+        triples.select(F.col("obj").alias("id"), obj_kind.alias("kind"))
+    )
+    rank = F.expr(
+        "map_from_arrays(array('entity','turn','label','literal'), array(0,1,2,3))"
+    )
     nodes = (
-        triples.select(F.col("subj").alias("id"))
-        .union(triples.select(F.col("obj").alias("id")))
-        .distinct()
-        .withColumn(
-            "kind",
-            F.when(F.col("id").rlike("^conv_.*:[0-9]+$"), "turn")
-            .when(F.col("id").rlike("^ENT_"), "entity")
-            .otherwise("literal"),
-        )
+        pairs.groupBy("id")
+        .agg(F.min(F.struct(F.try_element_at(rank, F.col("kind")).alias("r"),
+                            F.col("kind").alias("k"))).alias("m"))
+        .select("id", F.col("m")["k"].alias("kind"))
     )
     edges = triples.select(
         F.col("subj").alias("src"), F.col("pred").alias("rel"), F.col("obj").alias("dst")

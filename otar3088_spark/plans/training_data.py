@@ -98,7 +98,14 @@ def build_ner_dataset(
         )
     label2id = label_map(list(labels))
 
-    train, val = train_val_split(iob, val_fraction=val_fraction, seed=seed)
+    # key-hash split: membership is a function of the sentence key alone,
+    # so re-runs at ANY partitioning/cluster size produce the same artifact
+    train, val = train_val_split(
+        iob,
+        val_fraction=val_fraction,
+        seed=seed,
+        key_cols=("conv_id", "turn_idx", "sent_idx"),
+    )
     if gazetteer is not None and p_swap > 0.0:
         from otar3088_spark.operators.augment import augment_with_gazetteer
 

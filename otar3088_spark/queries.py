@@ -383,7 +383,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fp.groupBy("prefix_fp")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
-        .filter(F.col("group_size") > 0)
     )
 
 
