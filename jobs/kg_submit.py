@@ -75,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="output: catalog namespace (writes <ns>.triples/"
                          ".nodes/.edges via Iceberg) or directory (writes "
                          "parquet subdirs triples/ nodes/ edges/)")
+    ap.add_argument("--output-format", choices=["auto", "table", "path"],
+                    default="auto",
+                    help="route --output explicitly: 'table' = Iceberg "
+                         "catalog identifier, 'path' = filesystem directory. "
+                         "'auto' infers: dotted+slash-free = table — so a "
+                         "natural dotted dir name like 'kg_out.v2' needs "
+                         "--output-format path (or './kg_out.v2')")
     ap.add_argument("--staging", default=None,
                     help="span-snapshot staging dir (per-stage checkpoint; "
                          "strongly recommended — without it the tagging DAG "
@@ -91,10 +98,15 @@ def main(argv: list[str] | None = None) -> int:
     from otar3088_spark.session import submit_spark
 
     spark = submit_spark()
+    out_is_table = (
+        _is_table(args.output)
+        if args.output_format == "auto"
+        else args.output_format == "table"
+    )
     # fail fast on a decidable misconfiguration: build_kg with --staging
     # eagerly materializes the span snapshot (the dominant job cost) — a
     # missing catalog must abort BEFORE that, not after
-    if _is_table(args.output) and not iceberg_catalog_configured(spark):
+    if out_is_table and not iceberg_catalog_configured(spark):
         raise SystemExit(
             f"--output {args.output!r} is a table identifier but the "
             "session has no Iceberg catalog; pass a directory path or "
@@ -117,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     counts: dict[str, int] = {}
-    if _is_table(args.output):
+    if out_is_table:
         for part in ("triples", "nodes", "edges"):
             tbl = f"{args.output}.{part}"
             # bootstrap: overwritePartitions() cannot create a table (and

@@ -172,7 +172,13 @@ def write_iceberg(
     # was created with. So the bucket layout is applied exactly where it
     # takes effect, and the jobs/kg_submit.py bootstrap (create first run,
     # dynamic overwrite after) gets the bucketing on the create.
-    if bucket_conv_id and mode == "create_or_replace":
+    # the bucket transform only applies to tables that HAVE conv_id: the KG
+    # output family is mixed (triples carry conv_id; nodes (id, kind) and
+    # edges (src, rel, dst) do not), and partitionedBy on a missing column
+    # fails at create time AFTER earlier tables in the namespace committed —
+    # a partially-created namespace. Unpartitioned is correct for the
+    # conv_id-less dims: they are small and read whole.
+    if bucket_conv_id and mode == "create_or_replace" and "conv_id" in df.columns:
         writer = writer.partitionedBy(F.bucket(bucket_conv_id, F.col("conv_id")))
     if mode == "replace_partitions":
         writer.overwritePartitions()

@@ -80,62 +80,78 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     # per-token tag computed array-side: coverage is checked against the
     # CORE-token extent (start+lead .. start+lead+len(core)) because
     # tag_mentions emits spans at punctuation-stripped extents — a raw-extent
-    # check would leave a mention in "HeLa." covering no token (all-O). The
-    # FIRST covered token of a span gets B- — literally "no earlier token is
-    # covered by this span", checked against the previous token's core
-    # extent, so spans whose start lands on inter-token punctuation/space
-    # (external annotations, e.g. BioC offsets) still open correctly —
-    # matching the reference IOBConverter which tags the first
-    # fully-contained token B- (iob_converter.py:47-68). Min label breaks
-    # overlaps deterministically. One join + per-row expressions; core/lead
-    # derived inline from tokens (regexes per token beat materializing
-    # parallel arrays — this path is allocation-bandwidth bound).
-    def _covered(p, s, raw_len, cs, ce, core_len):
-        # core tokens: covered iff the CORE extent fits the span (see the
-        # "HeLa." note above). Punctuation-only tokens (empty core) have no
-        # core extent; they are covered iff their RAW extent fits — so an
-        # external span over "poly ( ADP-ribose ) polymerase" tags the
-        # interior "(" / ")" I- instead of O, which previously fragmented
-        # one annotation into three B- spans on the IOB round trip.
-        return F.when(
-            core_len > 0, (cs >= p["start"]) & (ce <= p["end"])
-        ).otherwise((s >= p["start"]) & ((s + raw_len) <= p["end"]))
+    # check would leave a mention in "HeLa." covering no token (all-O).
+    # Punctuation-only tokens (empty core) have no core extent; they are
+    # covered iff their RAW extent fits — so an external span over
+    # "poly ( ADP-ribose ) polymerase" tags the interior "(" / ")" I-
+    # instead of O (one annotation, one round-tripped span). The FIRST
+    # covered token of a span gets B- — literally "no earlier token is
+    # covered by this span", checked against the previous token's extent,
+    # so spans whose start lands on inter-token punctuation/space (external
+    # annotations, e.g. BioC offsets) still open correctly — matching the
+    # reference IOBConverter which tags the first fully-contained token B-
+    # (iob_converter.py:47-68). Min label breaks overlaps deterministically.
+    # hoisted path (default): evaluate the per-token geometry (raw end, core
+    # start, core length) ONCE per row as parallel int arrays, so the
+    # per-(token x span) lambdas are pure try_element_at arithmetic. Two
+    # pitfalls shaped this formulation (both measured, round 6):
+    # * HOF lambda bodies never enter whole-stage codegen — they are
+    #   interpreted per array element — so the inline alternative pays a
+    #   regexp_replace tree per (token x span x {current,prev}).
+    # * Hoisting via withColumn does NOT help: CollapseProject inlines the
+    #   alias into every use site, re-evaluating the whole geometry ARRAY
+    #   per lookup (measured 450s vs 16s at sf0.1). The arrays must be bound
+    #   to a LAMBDA VARIABLE — transform(array(struct(...)), g -> ...) is a
+    #   let-binding the optimizer cannot inline through.
+    geom = F.struct(
+        F.zip_with(
+            "starts", F.transform("toks", F.length), lambda s, l: s + l
+        ).alias("raw_end"),
+        F.transform(
+            "toks", lambda t: F.length(token_core_expr(t))
+        ).alias("core_len"),
+        F.transform(
+            "toks",
+            lambda t, i: F.element_at(F.col("starts"), i + 1) + token_lead_expr(t),
+        ).alias("core_start"),
+    )
 
-    def tag_at(t, i):
-        s = F.element_at(F.col("starts"), i + 1)
-        lead = token_lead_expr(t)
-        core_len = F.length(token_core_expr(t))
-        cs = s + lead
-        ce = cs + core_len
-        covering = F.filter(
-            F.col("sp"),
-            lambda p: _covered(p, s, F.length(t), cs, ce, core_len),
-        )
-        prev_t = F.try_element_at(F.col("toks"), i)  # 1-based: i == previous
-        prev_s = F.try_element_at(F.col("starts"), i)
-        prev_core_len = F.length(token_core_expr(prev_t))
-        prev_cs = prev_s + token_lead_expr(prev_t)
-        prev_ce = prev_cs + prev_core_len
-
-        def is_first(p):
-            prev_cov = _covered(
-                p, prev_s, F.length(prev_t), prev_cs, prev_ce, prev_core_len
+    def tags_with(g):
+        def cov_at(p, i1):
+            # i1 is a 1-based token index Column; out-of-range (prev of
+            # token 0) -> try_element_at NULL -> NULL, coalesced by caller.
+            # Branch-free AND/OR (not CASE WHEN): evaluates to the core
+            # check for core tokens, the raw-extent check for
+            # punctuation-only tokens (empty core) — see the "HeLa." note.
+            cl = F.try_element_at(g["core_len"], i1)
+            cs = F.try_element_at(g["core_start"], i1)
+            core_ok = (cs >= p["start"]) & ((cs + cl) <= p["end"])
+            raw_ok = (F.try_element_at(F.col("starts"), i1) >= p["start"]) & (
+                F.try_element_at(g["raw_end"], i1) <= p["end"]
             )
-            return (i == 0) | ~F.coalesce(prev_cov, F.lit(False))
+            return ((cl > 0) & core_ok) | (~(cl > 0) & raw_ok)
 
-        starting = F.filter(covering, is_first)
-        b_label = F.array_min(F.transform(starting, lambda p: p["label"]))
-        i_label = F.array_min(F.transform(covering, lambda p: p["label"]))
-        return (
-            F.when(F.size(starting) > 0, F.concat(F.lit("B-"), b_label))
-            .when(F.size(covering) > 0, F.concat(F.lit("I-"), i_label))
-            .otherwise(F.lit("O"))
-        )
+        def tag_at(t, i):
+            covering = F.filter(F.col("sp"), lambda p: cov_at(p, i + 1))
+            starting = F.filter(
+                covering,
+                lambda p: (i == 0)
+                | ~F.coalesce(cov_at(p, i), F.lit(False)),  # 1-based i == prev
+            )
+            b_label = F.array_min(F.transform(starting, lambda p: p["label"]))
+            i_label = F.array_min(F.transform(covering, lambda p: p["label"]))
+            return (
+                F.when(F.size(starting) > 0, F.concat(F.lit("B-"), b_label))
+                .when(F.size(covering) > 0, F.concat(F.lit("I-"), i_label))
+                .otherwise(F.lit("O"))
+            )
+
+        return F.transform("toks", tag_at)
 
     return j.select(
         *key3,
         F.col("toks").alias("tokens"),
-        F.transform("toks", tag_at).alias("tags"),
+        F.element_at(F.transform(F.array(geom), tags_with), 1).alias("tags"),
     )
 
 

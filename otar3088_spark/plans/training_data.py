@@ -122,6 +122,22 @@ def build_ner_dataset(
             F.col("tags_ids").alias("ner_tags"),
         )
 
+    # validate BOTH splits before writing EITHER: write_hf_dataset refuses an
+    # empty split, and on a tiny corpus the key-hash val split can land empty
+    # — failing after the train shards committed would leave a partial
+    # dataset dir (train + card, no validation) with no cleanup. LIMIT-1
+    # probes are footer-cheap against the staging snapshot.
+    empty = [
+        name
+        for name, d in (("train", train), ("validation", val))
+        if d.limit(1).count() == 0
+    ]
+    if empty:
+        raise ValueError(
+            f"split(s) {empty} are empty at val_fraction={val_fraction} on "
+            f"this corpus; nothing was written — adjust val_fraction or "
+            f"supply more sentences"
+        )
     train_shards = write_hf_dataset(
         encoded(train), out_dir, split="train", num_shards=num_shards
     )

@@ -114,10 +114,17 @@ def read_bioc_annotations(spark: SparkSession, path: str) -> DataFrame:
     Discontinuous annotations (multiple locations) collapse to the covering
     extent — first location's start, last location's end — the same
     convention the BRAT reader applies to discontinuous ``;`` spans."""
-    anns = _passages(spark, path).select(
-        "doc_id",
-        "passage_idx",
-        F.explode(F.col("p")["annotations"]).alias("a"),
+    anns = (
+        _passages(spark, path)
+        .select(
+            "doc_id",
+            "passage_idx",
+            F.explode(F.col("p")["annotations"]).alias("a"),
+        )
+        # a JSON null INSIDE an annotations array explodes to a NULL element
+        # (explode drops null/empty ARRAYS, not null members) and would
+        # surface as an all-null annotation row
+        .filter(F.col("a").isNotNull())
     )
     loc1 = F.element_at(F.col("a")["locations"], 1)
     locN = F.element_at(F.col("a")["locations"], -1)

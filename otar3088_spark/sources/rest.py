@@ -67,19 +67,31 @@ def fetch_search_results(
     queries_df: DataFrame,
     pages: int = 2,
     fetcher: Fetcher | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Fan a (search_query) table out to executors; each task fetches its
     queries' pages through a per-executor session. Deterministic keys
     (query, page) make re-runs idempotent — pair with the snapshot store to
-    skip completed fetches."""
+    skip completed fetches. ``cache_key`` names the per-worker session slot
+    for callers who construct fetchers dynamically and want explicit reuse
+    semantics across jobs."""
 
     # per-FETCHER session key: a reused Python worker (the default) must
     # never serve a previously-cached fetcher to a job that passed a
     # different one — the cache exists to share connection state across
-    # batches of ONE fetcher, not to pin the first fetcher forever
-    fkey = (
+    # batches of ONE fetcher, not to pin the first fetcher forever.
+    # qualname alone is NOT identity: two closures minted by the same
+    # factory (same qualname, different base URL) must not share a slot, so
+    # the driver-side id() joins the key. id() is computed HERE (driver),
+    # closed over, and therefore stable for every task of this job;
+    # same-object reuse across jobs keeps hitting the same slot.
+    fkey = cache_key or (
         "fetcher:"
-        + ("fake" if fetcher is None else f"{fetcher.__module__}.{getattr(fetcher, '__qualname__', repr(fetcher))}")
+        + (
+            "fake"
+            if fetcher is None
+            else f"{fetcher.__module__}.{getattr(fetcher, '__qualname__', repr(fetcher))}@{id(fetcher)}"
+        )
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
