@@ -45,6 +45,40 @@ CONTROL_REF_SF = 0.1
 ALLOC_CONTROL_QUERY = "term_tagging"
 ALLOC_CONTROL_REF_SEC = 3.9
 
+# THIRD axis (round-5 verdict): a session can be healthy on BOTH controls
+# above while the shuffle-heavy family (minhash/simhash/CC) runs 1.4-2.6x
+# slow — shuffle/tmpfs/page-cache bandwidth is orthogonal to the CPU and
+# allocation axes. simhash_buckets is the smallest plan-stable member of
+# that family (one explode + 64 conditional sums + one groupBy); reference
+# is the committed healthy best-of-3 band floor (r1-r4: 1.94-2.79s).
+SHUFFLE_CONTROL_QUERY = "simhash_buckets"
+SHUFFLE_CONTROL_REF_SEC = 2.1
+
+# Committed healthy best-of per query (min over rounds 1-5 records on
+# controls-verified windows; iob_roundtrip re-stamped after the round-6
+# let-binding rewrite). Used by the end-of-battery retry rule: one bad box
+# window must not stamp a 2x-degraded value into the record when the rest
+# of the battery was healthy — any query reading >2x its committed healthy
+# value is re-run ONCE at battery end and the min is recorded (with the
+# first reading preserved under "retried").
+HEALTHY_REF = {
+    "ann_cosine_topk": 1.02, "ann_lsh_topk": 1.26, "broadcast_lookup": 0.59,
+    "connected_components": 2.61, "dedup_exact": 0.28,
+    "dedup_first_wins": 0.38, "distinct_set_audit": 0.31,
+    "embedding_near_dups": 2.18, "filter_battery": 0.35,
+    "fingerprint": 0.19, "iob_roundtrip": 6.3, "json_props": 0.50,
+    "kg_pipeline": 7.27, "kg_pipeline_full": 9.57, "kg_triples": 4.47,
+    "kg_triples_gazetteer": 3.82, "mentions_rollup": 3.56,
+    "minhash_near_dups": 2.43, "minhash_near_dups_md5": 5.18,
+    "mode_priority": 0.40, "model_mentions": 0.39, "multiway_join": 0.70,
+    "ngram_jaccard_pairs": 1.00, "pricing_summary": 0.64,
+    "quality_score": 0.29, "right_join_dedup": 0.70, "semi_anti": 0.68,
+    "seq_classify": 0.31, "sessionize": 0.50, "set_ops": 0.59,
+    "simhash_buckets": 1.94, "simhash_buckets_md5": 1.86,
+    "term_tagging": 3.30, "term_tagging_bigram": 3.71, "token_stats": 0.21,
+    "top_revenue_orders": 1.16, "topk_per_group": 0.53,
+}
+
 
 def materialize(df) -> int:
     df.write.mode("overwrite").format("noop").save()
@@ -98,6 +132,17 @@ def run_bench(
             "control_ref_sec": CONTROL_REF_SEC,
             "box_factor": round(best / CONTROL_REF_SEC, 2),
         }
+        best_sh = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(_Q[SHUFFLE_CONTROL_QUERY](spark, sf_dir))
+            best_sh = min(best_sh, time.perf_counter() - t0)
+        control.update(
+            shuffle_control_query=SHUFFLE_CONTROL_QUERY,
+            shuffle_control_sec=round(best_sh, 3),
+            shuffle_control_ref_sec=SHUFFLE_CONTROL_REF_SEC,
+            box_factor_shuffle=round(best_sh / SHUFFLE_CONTROL_REF_SEC, 2),
+        )
 
     if only in (None, "queries"):
         from otar3088_spark.queries import QUERIES
@@ -112,6 +157,22 @@ def run_bench(
                 materialize(fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+        # end-of-battery retry: one bad window inside an otherwise-healthy
+        # battery must not stamp a 2x-degraded reading into the record
+        # (round-5 verdict: the shuffle family read 1.4-2.6x high while
+        # both controls said healthy). Only comparable at the bench sf.
+        retried: dict[str, float] = {}
+        if sf == CONTROL_REF_SF:
+            for name, fn in QUERIES.items():
+                ref = HEALTHY_REF.get(name)
+                if ref and timings.get(name, 0.0) > 2 * ref:
+                    t0 = time.perf_counter()
+                    materialize(fn(spark, sf_dir))
+                    rerun = time.perf_counter() - t0
+                    retried[name] = timings[name]
+                    timings[name] = round(min(timings[name], rerun), 3)
+        if retried:
+            control["retried"] = retried
         if sf == CONTROL_REF_SF and cores == 32 and ALLOC_CONTROL_QUERY in timings:
             control["alloc_control_query"] = ALLOC_CONTROL_QUERY
             control["alloc_control_sec"] = timings[ALLOC_CONTROL_QUERY]

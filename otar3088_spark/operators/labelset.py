@@ -92,29 +92,51 @@ def encode_labels(
     )
 
 
+def split_fraction_expr(
+    key_cols: tuple[str, ...], seed: int = 42, hash_family: str = "xxhash64"
+):
+    """The layout-stable split coordinate: a seeded hash of the key mapped
+    into [0, 1). ``xxhash64`` is the production family (fastest, JVM-side);
+    ``md5`` is the oracle twin — DuckDB computes the identical
+    md5(seed|k1|k2|...) first-16-bits value, so split MEMBERSHIP is
+    SQL-replayable row by row (same trick as the dedup md5 twins)."""
+    if hash_family == "md5":
+        h = F.md5(
+            F.concat_ws(
+                "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+            )
+        )
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") / 65536.0
+    if hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    return (
+        F.pmod(
+            F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols]),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+    )
+
+
 def train_val_split(
     df: DataFrame,
     val_fraction: float = 0.2,
     seed: int = 42,
     key_cols: tuple[str, ...] | None = None,
+    hash_family: str = "xxhash64",
 ):
     """M6: seeded split (reference: train_test_split seed=42).
 
     With ``key_cols`` the split is LAYOUT-STABLE: membership is a seeded
-    xxhash64 threshold on the key, so the same row lands in the same split
-    whatever the partition count or cluster size — the only form that makes
-    "deterministic re-runs" true across environments (randomSplit is only
-    deterministic per partition layout). Without ``key_cols`` this falls
-    back to randomSplit for keyless tables, with that documented caveat.
-    Both forms split approximately (expected fraction, not exact counts)."""
+    hash threshold on the key (``split_fraction_expr``), so the same row
+    lands in the same split whatever the partition count or cluster size —
+    the only form that makes "deterministic re-runs" true across
+    environments (randomSplit is only deterministic per partition layout).
+    Without ``key_cols`` this falls back to randomSplit for keyless tables,
+    with that documented caveat. Both forms split approximately (expected
+    fraction, not exact counts)."""
     if key_cols:
-        frac = (
-            F.pmod(
-                F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols]),
-                F.lit(1_000_000),
-            )
-            / 1_000_000.0
-        )
+        frac = split_fraction_expr(key_cols, seed=seed, hash_family=hash_family)
         return df.filter(frac >= val_fraction), df.filter(frac < val_fraction)
     train, val = df.randomSplit([1.0 - val_fraction, val_fraction], seed=seed)
     return train, val

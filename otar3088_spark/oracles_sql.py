@@ -584,6 +584,23 @@ FROM tri
 """
 
 
+
+def _label_case() -> str:
+    """label_map's id convention as a SQL CASE over the DOC_DICT vocabulary
+    (O=0, then B-X/I-X pairs in sorted label order) — kept programmatic so
+    the oracle can never drift from plans/training_data.label_map."""
+    from otar3088_spark.plans.training_data import label_map
+
+    from otar3088_spark.queries import DOC_DICT
+
+    l2i = label_map(sorted({l for (_, _, l) in DOC_DICT}))
+    whens = " ".join(f"WHEN '{t}' THEN {i}" for t, i in l2i.items())
+    return f"CASE tag {whens} ELSE -100 END"
+
+
+_NER_TAG_ID_CASE = _label_case()
+
+
 ORACLE_SQL: dict[str, str] = {
     "kg_triples_gazetteer": _kg_gazetteer_sql(),
     "kg_triples": _kg_gazetteer_sql(merged=True),
@@ -759,6 +776,49 @@ ORACLE_SQL: dict[str, str] = {
                      AND kb.rawstart + kb.lead = s.start
         JOIN keyed ke ON ke.doc_id = s.doc_id
                      AND ke.rawstart + ke.lead + ke.corelen = s."end"
+    """,
+    # training-data assembly: tagging spans -> per-token IOB tags -> encoded
+    # ids (label_map convention: O=0, then B-X/I-X in sorted label order) ->
+    # md5-family key-hash split. Split membership replays EXACTLY: DuckDB
+    # computes the same md5('42|<doc_id>|0|0') first-16-bit coordinate the
+    # Spark twin uses (split_fraction_expr hash_family='md5'); production
+    # xxhash64 equivalence is pytest-pinned. Tag assignment rides the same
+    # 1:1 span->token mapping the roundtrip oracle established.
+    "ner_dataset": _TAGGING_CTE
+    + f"""
+        , span_tok AS (
+            SELECT s.doc_id, kb.pos AS bpos, ke.pos AS epos, s.label
+            FROM spans s
+            JOIN keyed kb ON kb.doc_id = s.doc_id
+                         AND kb.rawstart + kb.lead = s.start
+            JOIN keyed ke ON ke.doc_id = s.doc_id
+                         AND ke.rawstart + ke.lead + ke.corelen = s."end"
+        ),
+        tok_tags AS (
+            SELECT k.doc_id, k.pos, k.tok_raw,
+                   COALESCE(MIN(CASE WHEN k.pos = st.bpos THEN 'B-' || st.label
+                                     ELSE 'I-' || st.label END), 'O') AS tag
+            FROM keyed k
+            LEFT JOIN span_tok st
+              ON st.doc_id = k.doc_id AND k.pos BETWEEN st.bpos AND st.epos
+            GROUP BY k.doc_id, k.pos, k.tok_raw
+        ),
+        docs2 AS (
+            SELECT doc_id,
+                   string_agg(tok_raw, ' ' ORDER BY pos) AS toks_str,
+                   string_agg(({_NER_TAG_ID_CASE})::VARCHAR, ',' ORDER BY pos) AS tags_str,
+                   max(CASE WHEN tag <> 'O' THEN 1 ELSE 0 END) AS has_ent
+            FROM tok_tags GROUP BY doc_id
+        ),
+        coord AS (
+            SELECT *, md5('42|' || doc_id::VARCHAR || '|0|0') AS h FROM docs2
+        )
+        SELECT CASE WHEN ('0x' || substr(h, 1, 4))::BIGINT < 16384
+                    THEN 'validation' ELSE 'train' END AS split,
+               doc_id,
+               md5(toks_str) AS toks_md5,
+               md5(tags_str) AS tags_md5
+        FROM coord WHERE has_ent = 1
     """,
     # M2 stand-in classifier: class from md5 byte0 % 4, score from byte1
     "seq_classify": """

@@ -657,6 +657,46 @@ def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ner_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data assembly (T1 data side, plans/training_data):
+    spans -> IOB -> drop all-O -> encode labels -> layout-stable key-hash
+    split, emitted as (split, doc_id, toks_md5, tags_md5) so DuckDB replays
+    tagging + tag assignment + encoding + SPLIT MEMBERSHIP row by row. Uses
+    the md5 split family (oracle twin); production uses xxhash64 — family
+    equivalence is pytest-pinned (test_training_data.py). Reference lineage:
+    dataset_loader.py:352-446."""
+    from otar3088_spark.operators.labelset import encode_labels, split_fraction_expr
+    from otar3088_spark.operators.spans import filter_all_o, spans_to_iob
+    from otar3088_spark.plans.training_data import label_map
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.col("text").alias("sent_text"),
+    )
+    spans = q_term_tagging(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        "start", "end", "label",
+    )
+    iob = filter_all_o(spans_to_iob(d, spans))
+    label2id = label_map(sorted({l for (_, _, l) in DOC_DICT}))
+    enc = encode_labels(iob, label2id)
+    frac = split_fraction_expr(
+        ("conv_id", "turn_idx", "sent_idx"), seed=42, hash_family="md5"
+    )
+    return enc.select(
+        F.when(frac < 0.25, F.lit("validation")).otherwise(F.lit("train")).alias("split"),
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("toks_md5"),
+        F.md5(
+            F.concat_ws(",", F.transform("tags_ids", lambda t: t.cast("string")))
+        ).alias("tags_md5"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (similarity scale path):
     multi-table random-hyperplane signatures + Hamming-1 multiprobe +
@@ -739,6 +779,7 @@ QUERIES = {
     "model_mentions": q_model_mentions,
     "seq_classify": q_seq_classify,
     "iob_roundtrip": q_iob_roundtrip,
+    "ner_dataset": q_ner_dataset,
     "ann_lsh_topk": q_ann_lsh_topk,
     "kg_triples": q_kg_triples,
     "kg_triples_gazetteer": q_kg_triples_gazetteer,

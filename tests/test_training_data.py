@@ -100,3 +100,40 @@ def test_build_ner_dataset_with_augmentation(
     v1 = read_hf_dataset(spark, str(out), "validation").sort("conv_id", "turn_idx", "sent_idx")
     v2 = read_hf_dataset(spark, str(plain), "validation").sort("conv_id", "turn_idx", "sent_idx")
     assert v1.exceptAll(v2).count() == 0 and v2.exceptAll(v1).count() == 0
+
+
+def test_split_hash_family_equivalence(spark):
+    """The md5 split family (the ner_dataset oracle twin) and the xxhash64
+    production family are interchangeable: both are seeded deterministic
+    partitions of the input, layout-stable under repartitioning, and land
+    near the requested fraction. (Per-row membership differs by design —
+    they are different hash functions; what must agree is the CONTRACT.)"""
+    from otar3088_spark.operators.labelset import train_val_split
+
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("conv_id"),
+        (F.col("id") % 7).cast("int").alias("turn_idx"),
+        (F.col("id") % 3).cast("int").alias("sent_idx"),
+    )
+    key = ["conv_id", "turn_idx", "sent_idx"]
+    for fam in ("xxhash64", "md5"):
+        tr, va = train_val_split(
+            df, val_fraction=0.25, seed=42, key_cols=tuple(key), hash_family=fam
+        )
+        n_tr, n_va = tr.count(), va.count()
+        # exact partition: disjoint and exhaustive
+        assert n_tr + n_va == 2000
+        assert tr.select(*key).intersect(va.select(*key)).count() == 0
+        # near the requested fraction (binomial tolerance)
+        assert 0.18 < n_va / 2000 < 0.32, (fam, n_va)
+        # layout-stable: same membership at a different partitioning
+        tr2, _ = train_val_split(
+            df.repartition(7), val_fraction=0.25, seed=42,
+            key_cols=tuple(key), hash_family=fam,
+        )
+        assert tr2.select(*key).exceptAll(tr.select(*key)).count() == 0
+        # seed-sensitive: a different seed moves some rows
+        tr3, _ = train_val_split(
+            df, val_fraction=0.25, seed=7, key_cols=tuple(key), hash_family=fam
+        )
+        assert tr3.select(*key).exceptAll(tr.select(*key)).count() > 0
