@@ -71,7 +71,7 @@ REDLIST_SUFFIX = r"(?:genesis|cytic|ial|yal)$"
 _MEMO_MAX = 8
 _PREP_MEMO: OrderedDict[int, tuple[DataFrame, DataFrame]] = OrderedDict()
 _ANCHOR_MEMO: OrderedDict[
-    tuple[int, tuple, int], tuple[DataFrame, DataFrame, list[str] | None]
+    tuple, tuple[DataFrame, DataFrame, list[str] | None, bool]
 ] = OrderedDict()
 
 
@@ -200,7 +200,8 @@ def tag_mentions(
     max_prefilter_terms: int = 50_000,
     lemma_overrides: dict[str, str] | None = None,
     precompute_offsets: bool = False,
-    bigram_anchor: bool = False,
+    bigram_anchor: bool | None = None,
+    bigram_anchor_threshold: int = 64,
 ) -> DataFrame:
     """Detect dictionary mentions in sentences; returns one row per span.
 
@@ -222,18 +223,29 @@ def tag_mentions(
     models" matches dictionary "mouse model" — inflection on non-head tokens
     links exactly as in the reference.
 
-    ``bigram_anchor=True`` switches the candidate-blocking key from the
-    term's first allowed surface form to the (first, second) allowed PAIR
-    for n>=2 terms (n==1 terms keep the unigram anchor) — the escape hatch
-    for skewed gazetteers where thousands of multi-token terms share one
-    corpus-frequent first token (BENCH/TAGGING_STRESS.md §2: candidate
-    volume is |anchor occurrences| x |terms on the anchor| under unigram
-    blocking, but collapses to true bigram matches under pair blocking).
-    It costs one per-sentence keys array + 2x exploded anchor rows on the
-    corpus side, which the reference-shaped gazetteers (<=5k entities/type)
-    never repay — hence opt-in, identical output by construction (window
-    validation is unchanged; pinned by
-    ``test_bigram_anchor_path_is_identical``).
+    ``bigram_anchor`` selects the candidate-blocking key for n>=2 terms:
+    the term's first allowed surface form (``False``) or its (first, second)
+    allowed PAIR (``True``) — the escape hatch for skewed gazetteers where
+    thousands of multi-token terms share one corpus-frequent first token
+    (BENCH/TAGGING_STRESS.md §2: candidate volume is |anchor occurrences| x
+    |terms on the anchor| under unigram blocking, but collapses to true
+    bigram matches under pair blocking). Pair keys cost one per-sentence
+    keys array + 2x exploded anchor rows on the corpus side, which
+    reference-shaped gazetteers (<=5k entities/type, small first-token
+    groups) never repay.
+
+    Default ``None`` = AUTO: the skew statistic is computed dim-side at
+    prepare time (one tiny memoized job over the broadcast dictionary) —
+    any first-position surface form anchoring more than
+    ``bigram_anchor_threshold`` n>=2 terms is an oversized group, and ONLY
+    those groups switch to pair keys (n==1 terms and small groups keep
+    unigram anchors, bounding their amplification at the threshold). With
+    no oversized group the plan is byte-identical to ``False``; with one,
+    the pathological W-term group collapses without anyone passing a flag —
+    matching the reference PhraseMatcher whose cost is skew-free
+    (COVID_ner_clean.ipynb cell 7). Output identical in all modes (window
+    validation unchanged; pinned by ``test_bigram_anchor_path_is_identical``
+    and ``test_auto_bigram_anchor``).
     """
     ov = dict(lemma_overrides or {})
 
@@ -241,12 +253,18 @@ def tag_mentions(
     # anchor mode means the dim subplan AND the plan-time anchor IN-set are
     # byte-identical — skip straight to the corpus-side plan (see
     # _ANCHOR_MEMO note above)
-    mkey = (id(dictionary), tuple(sorted(ov.items())), max_prefilter_terms, bigram_anchor)
+    mkey = (
+        id(dictionary),
+        tuple(sorted(ov.items())),
+        max_prefilter_terms,
+        bigram_anchor,
+        bigram_anchor_threshold,
+    )
     hit = _ANCHOR_MEMO.get(mkey)
     if hit is not None and hit[0] is dictionary:
         _ANCHOR_MEMO.move_to_end(mkey)
-        d0, firsts = hit[1], hit[2]
-        return _tag_with_dim(sentences, d0, firsts, precompute_offsets, bigram_anchor)
+        d0, firsts, pair_mode = hit[1], hit[2], hit[3]
+        return _tag_with_dim(sentences, d0, firsts, precompute_offsets, pair_mode)
 
     # --- dictionary-side normalization + preimage enumeration ----------------
     # Every dictionary token is normalized with the FULL lemma function; rows
@@ -282,27 +300,59 @@ def tag_mentions(
         )
     )
 
+    # --- anchor-mode resolution (auto skew detection) ------------------------
+    # AUTO: one tiny dim-side job (memoized with the dim) — count n>=2 terms
+    # per first-position allowed surface form; forms anchoring more than the
+    # threshold are "oversized groups" whose unigram amplification would be
+    # |corpus occurrences of the form| x |group size|. Only those forms
+    # switch to pair keys. The oversized set is a driver literal: it is
+    # bounded by |dictionary| / threshold, and the dictionary is a broadcast
+    # dim by contract.
+    if bigram_anchor is None:
+        oversized = [
+            r["f1"]
+            for r in d_norm.filter(F.col("n") >= 2)
+            .select(F.explode(F.element_at("allowed", 1)).alias("f1"))
+            .groupBy("f1")
+            .count()
+            .filter(F.col("count") > bigram_anchor_threshold)
+            .select("f1")
+            .collect()
+        ]
+    else:
+        oversized = []
+
     # anchor join key: one dim row per allowed FIRST-position surface form
     # (<=5 per term) — the broadcast equi-join key for raw corpus keys.
     # Bigram mode: n>=2 terms key on every (first, second) allowed pair
     # (<=25 per term) joined by one space — corpus tokens are split ON
-    # space, so pair keys and unigram keys can never collide.
+    # space, so pair keys and unigram keys can never collide. Auto mode is
+    # SELECTIVE: only (term, first-form) combinations in an oversized group
+    # take pair keys; everything else stays unigram.
+    pair_with = lambda f1: F.transform(  # noqa: E731
+        F.element_at(F.col("allowed"), 2), lambda f2: F.concat(f1, F.lit(" "), f2)
+    )
     if bigram_anchor:
-        pair_keys = F.flatten(
-            F.transform(
-                F.element_at("allowed", 1),
-                lambda f1: F.transform(
-                    F.element_at(F.col("allowed"), 2),
-                    lambda f2: F.concat(f1, F.lit(" "), f2),
-                ),
+        anchor_keys = F.when(
+            F.col("n") >= 2,
+            F.flatten(F.transform(F.element_at("allowed", 1), pair_with)),
+        ).otherwise(F.element_at("allowed", 1))
+        d0 = d_norm.withColumn("first_tok", F.explode(anchor_keys))
+    elif oversized:
+        d0 = (
+            d_norm.withColumn("f1", F.explode(F.element_at("allowed", 1)))
+            .withColumn(
+                "_keys",
+                F.when((F.col("n") >= 2) & F.col("f1").isin(oversized), pair_with(F.col("f1")))
+                .otherwise(F.array(F.col("f1"))),
             )
-        )
-        anchor_keys = F.when(F.col("n") >= 2, pair_keys).otherwise(
-            F.element_at("allowed", 1)
+            .withColumn("first_tok", F.explode("_keys"))
+            .drop("f1", "_keys")
         )
     else:
-        anchor_keys = F.element_at("allowed", 1)
-    d0 = d_norm.withColumn("first_tok", F.explode(anchor_keys))
+        d0 = d_norm.withColumn("first_tok", F.explode(F.element_at("allowed", 1)))
+    # the corpus side must emit pair keys iff ANY dim row keys on a pair
+    pair_mode = bool(bigram_anchor) or bool(oversized)
 
     # --- plan-time anchor IN-set --------------------------------------------
     # The dictionary is a broadcast dim by design, so collecting its distinct
@@ -318,10 +368,10 @@ def tag_mentions(
     if len(firsts) > max_prefilter_terms:
         firsts = None
 
-    _ANCHOR_MEMO[mkey] = (dictionary, d0, firsts)
+    _ANCHOR_MEMO[mkey] = (dictionary, d0, firsts, pair_mode)
     while len(_ANCHOR_MEMO) > _MEMO_MAX:
         _ANCHOR_MEMO.popitem(last=False)
-    return _tag_with_dim(sentences, d0, firsts, precompute_offsets, bigram_anchor)
+    return _tag_with_dim(sentences, d0, firsts, precompute_offsets, pair_mode)
 
 
 def _tag_with_dim(

@@ -784,3 +784,49 @@ def test_bigram_anchor_path_is_identical(spark, transcripts_df, dictionary_df):
     t_i = cols.index("term")
     assert any(" " in r[t_i] for r in uni) and any(" " not in r[t_i] for r in uni)
     assert uni == bi
+
+
+def test_auto_bigram_anchor(spark, transcripts_df, dictionary_df):
+    """Default (bigram_anchor=None) auto-selects the blocking key from the
+    dictionary's own skew statistic: first-position forms anchoring more
+    multi-token terms than the threshold switch to pair keys — WITHOUT any
+    flag — while unskewed dictionaries resolve to the exact unigram plan."""
+    from otar3088_spark.operators import tagging
+
+    sents = sentencize(normalize_turns(transcripts_df))
+
+    # unskewed: auto must resolve to unigram (pair_mode False in the memo)
+    d_small = prepare_dictionary(dictionary_df)
+    auto_small = {tuple(r) for r in tag_mentions(sents, d_small).collect()}
+    uni_small = {
+        tuple(r) for r in tag_mentions(sents, d_small, bigram_anchor=False).collect()
+    }
+    assert auto_small == uni_small and len(auto_small) > 100
+    key_auto = (id(d_small), (), 50_000, None, 64)
+    assert tagging._ANCHOR_MEMO[key_auto][3] is False
+
+    # skewed: one first token shared by > threshold multi-token terms
+    skew_rows = [(f"S{i:04d}", f"alpha variant{i}", "Sys") for i in range(80)]
+    skew_rows += [("S9000", "alpha", "Sys"), ("S9001", "beta stream", "Obj")]
+    d_skew = prepare_dictionary(
+        spark.createDataFrame(skew_rows, ["ent_id", "term", "label"])
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("c1", 0, 0, "the alpha variant7 beat the alpha variant63 today"),
+            ("c2", 0, 0, "alpha alone and a beta stream here"),
+            ("c3", 0, 0, "no anchors at all in this sentence"),
+        ],
+        ["conv_id", "turn_idx", "sent_idx", "sent_text"],
+    )
+    auto = {tuple(r) for r in tag_mentions(corpus, d_skew).collect()}
+    uni = {tuple(r) for r in tag_mentions(corpus, d_skew, bigram_anchor=False).collect()}
+    bi = {tuple(r) for r in tag_mentions(corpus, d_skew, bigram_anchor=True).collect()}
+    assert auto == uni == bi
+    surfaces = {r[-1] for r in auto}
+    assert {"alpha variant7", "alpha variant63", "alpha", "beta stream"} <= surfaces
+    # auto resolved to pair mode for the oversized group
+    assert tagging._ANCHOR_MEMO[(id(d_skew), (), 50_000, None, 64)][3] is True
+    # threshold override: raise it above the group size -> unigram again
+    tag_mentions(corpus, d_skew, bigram_anchor_threshold=500).collect()
+    assert tagging._ANCHOR_MEMO[(id(d_skew), (), 50_000, None, 500)][3] is False

@@ -42,7 +42,9 @@ def main() -> None:
     ap.add_argument("--precompute", action="store_true",
                     help="use the per-sentence offsets-array stage-2 path")
     ap.add_argument("--bigram", action="store_true",
-                    help="use the bigram-anchor blocking key (skewed-dict escape hatch)")
+                    help="force the bigram-anchor blocking key everywhere")
+    ap.add_argument("--unigram", action="store_true",
+                    help="force the unigram anchor (disable auto skew detection)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -103,7 +105,7 @@ def main() -> None:
             spans = tag_mentions(
                 c, d,
                 precompute_offsets=args.precompute,
-                bigram_anchor=args.bigram,
+                bigram_anchor=(True if args.bigram else False if args.unigram else None),
             )
             best = float("inf")
             for _ in range(args.reps):
