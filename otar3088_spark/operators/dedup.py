@@ -107,7 +107,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # SELF-join of the banded table: both sides are |docs| x bands rows, so
+    # broadcasting either is categorically wrong beyond toy corpora — at 1M
+    # docs the 8M-row build side OOMs the driver's broadcast build (measured,
+    # round 6) while AQE's size estimate (compact shuffle bytes, not in-
+    # memory HashedRelation) still says "broadcastable"; a shuffle-hash
+    # build-side map OOMs tasks the same way one scale later. Pin SORT-MERGE:
+    # spillable on both sides, co-partitioned on the bucket key, and the
+    # join stays one exchange + sort at any corpus size — the only strategy
+    # whose memory footprint is O(partition run), not O(partition).
+    a, b = banded.alias("a"), banded.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -141,12 +150,30 @@ def jaccard_pairs(
     )
     s1 = sh.select(F.col("id").alias("id1"), F.col("sh"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("sh"))
+    # every sh-derived side scales with the corpus (|docs| x shingles-per-
+    # doc rows): same sort-merge reasoning as the banded self-join above —
+    # neither a broadcast build nor a per-task hash map may be corpus-sized.
+    # The hint is load-bearing even though "obviously" s1 is huge: Catalyst's
+    # STATIC size estimate descends from the source's sizeInBytes (a
+    # spark.range generator reports 8 bytes/row; heavily-filtered parquet
+    # lies the same way), so at 1M docs the planner happily chose
+    # BuildRight(s1) and died building a 23M-row driver HashedRelation.
     inter = (
-        pairs.join(s1, "id1").join(s2, ["id2", "sh"]).groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
+        pairs.join(s1.hint("merge"), "id1")
+        .join(s2.hint("merge"), ["id2", "sh"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # the sizes table is ALSO corpus-sized (one row per doc) — same rule
     return (
-        inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        inter.join(
+            sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1").hint("merge"),
+            "id1",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2").hint("merge"),
+            "id2",
+        )
         .select(
             "id1",
             "id2",

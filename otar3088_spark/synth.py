@@ -313,3 +313,40 @@ def transcripts_spark(spark, n_turns: int, turns_per_conv: int = 20, skew_frac: 
         F.lit(None).cast("string").alias("tool"),
         (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("_id") % 86400)).alias("ts"),
     )
+
+
+def documents_spark(spark, n_docs: int, dup_frac: float = 0.2, doc_tokens: int = 24):
+    """Bench-scale document generator with PLANTED near-duplicate structure:
+    pure column expressions over ``spark.range`` — distributed,
+    deterministic, zero per-row Python (same design as transcripts_spark).
+
+    Near-dup pairs are planted as (even id, even id + 1) twins: an odd id in
+    the dup range regenerates its even predecessor's text and appends one
+    extra token, giving 3-shingle Jaccard ≈ (T-2-k)/T ≈ 0.9 at the default
+    length — above any standard near-dup threshold, below 1.0 (exact-dedup
+    must NOT collapse them). ``dup_frac`` of all docs are such twins; all
+    other docs are hash-unique, so expected true-pair count =
+    ``n_docs * dup_frac / 2`` exactly and LSH bucket sizes stay O(cluster),
+    never corpus-wide — the property that keeps the band join linear.
+    """
+    from pyspark.sql import functions as F
+
+    filler_arr = F.array(*[F.lit(w) for w in FILLER])
+    n_f = len(FILLER)
+    # odd ids inside the dup range are twins of id-1; planted deterministically
+    # by id arithmetic so ANY subset of ids still has a well-defined corpus
+    is_dup = (F.col("id") % 2 == 1) & (
+        (F.col("id") % 1_000) < int(dup_frac * 1_000)
+    )
+    text_seed = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+
+    def pick(salt):
+        h = F.xxhash64(text_seed, F.lit(salt))
+        return F.element_at(filler_arr, ((h % n_f + n_f) % n_f + 1).cast("int"))
+
+    # every doc gets a unique token derived from text_seed so non-twin docs
+    # can never be accidental near-dups of each other
+    uniq = F.concat(F.lit("u"), F.conv(F.xxhash64(text_seed, F.lit(999)).cast("string"), 10, 16))
+    body = F.concat_ws(" ", *[pick(s) for s in range(doc_tokens - 1)], uniq)
+    text = F.when(is_dup, F.concat(body, F.lit(" extradup"))).otherwise(body)
+    return spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))

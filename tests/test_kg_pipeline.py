@@ -830,3 +830,91 @@ def test_auto_bigram_anchor(spark, transcripts_df, dictionary_df):
     # threshold override: raise it above the group size -> unigram again
     tag_mentions(corpus, d_skew, bigram_anchor_threshold=500).collect()
     assert tagging._ANCHOR_MEMO[(id(d_skew), (), 50_000, None, 500)][3] is False
+
+
+def test_recorded_hf_ner_output_first_strategy_links(spark):
+    """The aggregation_strategy="first" pipeline shape (second-most-common
+    HF config): word-level aggregation snaps every entity's start/end to
+    whole whitespace-delimited words — offsets can never cut inside a word
+    the way "simple" offsets can at subword boundaries. Drives the same
+    production seam with tests/fixtures/hf_ner_output_first.json and pins
+    the two divergent behaviors: whole-word "cisplatin-based" (simple
+    would emit the linkable subword span "cisplatin") has no dictionary
+    alias and MUST drop; whole-word "paracetamols" keeps its inflection
+    inside the span and links through the rank-0 destem."""
+    import json
+    from pathlib import Path
+
+    from otar3088_spark.functions.text import IRREGULAR_PLURALS
+    from otar3088_spark.operators.inference import (
+        link_model_mentions,
+        model_mentions,
+    )
+
+    fx = json.loads(
+        (Path(__file__).parent / "fixtures" / "hf_ner_output_first.json").read_text()
+    )
+    assert fx["format"].endswith("aggregation_strategy=first")
+    # the "first" contract itself: offsets snap to whole words
+    for s in fx["sentences"]:
+        for e in s["entities"]:
+            t = s["text"]
+            assert (e["start"] == 0 or t[e["start"] - 1] == " ") and (
+                e["end"] == len(t) or t[e["end"]] in " .,"
+            )
+
+    by_text = {
+        s["text"]: [
+            (e["start"], e["end"], e["entity_group"], e["score"])
+            for e in s["entities"]
+        ]
+        for s in fx["sentences"]
+    }
+
+    def replay_scorer(texts):
+        return [by_text[t] for t in texts]
+
+    sents = spark.createDataFrame(
+        pd.DataFrame(
+            [("c0", 0, s["sent_idx"], s["text"]) for s in fx["sentences"]],
+            columns=["conv_id", "turn_idx", "sent_idx", "sent_text"],
+        )
+    )
+    d = prepare_dictionary(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("L1", "aspirin", "Drug", "C1"),
+                    ("L3", "paracetamol", "Drug", "C3"),
+                    ("L12", "cisplatin", "Drug", "C12"),
+                ],
+                columns=["ent_id", "term", "label", "canonical_id"],
+            )
+        )
+    )
+
+    ms = model_mentions(sents, scorer=replay_scorer)
+    got_raw = {
+        (r["sent_idx"], r["start"], r["end"], r["surface"], r["label"])
+        for r in ms.collect()
+    }
+    want_raw = {
+        (s["sent_idx"], e["start"], e["end"], e["word"], e["entity_group"])
+        for s in fx["sentences"]
+        for e in s["entities"]
+    }
+    assert got_raw == want_raw  # seam reproduces the recorded output exactly
+
+    linked = link_model_mentions(ms, d, lemma_overrides=IRREGULAR_PLURALS)
+    rows = {
+        (r["surface"], r["term"], r["ent_id"]) for r in linked.collect()
+    }
+    # divergence 1: the word-snapped hyphenated span is unlinkable -> dropped
+    assert not any(s == "cisplatin-based" for (s, _, _) in rows)
+    # (the dictionary DOES hold cisplatin — under simple's subword span
+    # ("cisplatin") this would have linked; the drop is the strategy's doing)
+    # divergence 2: inflection stays inside the word-snapped span and the
+    # rank-0 destem still links it
+    assert ("paracetamols", "paracetamol", "L3") in rows
+    # sanity on a shared sentence: plain whole-word entity links as before
+    assert any(s == "aspirin" and e == "L1" for (s, _, e) in rows)

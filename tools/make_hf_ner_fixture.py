@@ -49,9 +49,31 @@ RECORDED: list[tuple[str, list[tuple[str, str, float]]]] = [
 ]
 
 
-def main() -> None:
+# aggregation_strategy="first" variant (the second-most-common HF config):
+# every WORD takes the label of its FIRST subword token, so entity
+# start/end offsets snap to whole whitespace-delimited words — they can
+# never cut inside a word the way "simple" offsets can at subword
+# boundaries. The divergent cases recorded here:
+# * "cisplatin-based": under simple the model's subword tagging yields the
+#   span ("cisplatin", 4, 13) — linkable. Under first the whole word
+#   "cisplatin-based" (4, 19) is the entity; its alias key
+#   ("cisplatinbased") matches nothing, so the linker must DROP it.
+# * "paracetamols": whole-word span whose rank-0 destem ("paracetamol")
+#   links — word-snapping keeps trailing inflection inside the span.
+OUT_FIRST = (
+    Path(__file__).resolve().parents[1] / "tests" / "fixtures" / "hf_ner_output_first.json"
+)
+RECORDED_FIRST: list[tuple[str, list[tuple[str, str, float]]]] = RECORDED + [
+    ("the cisplatin-based regimen was tolerated.",
+     [("cisplatin-based", "Drug", 0.8821)]),
+    ("dosing of paracetamols continued for a week.",
+     [("paracetamols", "Drug", 0.9104)]),
+]
+
+
+def _resolve(recorded):
     sentences = []
-    for i, (text, ents) in enumerate(RECORDED):
+    for i, (text, ents) in enumerate(recorded):
         claimed = 0
         entities = []
         for word, group, score in ents:
@@ -67,6 +89,11 @@ def main() -> None:
             )
             claimed = start + len(word)
         sentences.append({"sent_idx": i, "text": text, "entities": entities})
+    return sentences
+
+
+def main() -> None:
+    sentences = _resolve(RECORDED)
     payload = {
         "format": "hf token-classification pipeline, aggregation_strategy=simple",
         "sentences": sentences,
@@ -74,6 +101,21 @@ def main() -> None:
     OUT.write_text(json.dumps(payload, indent=1) + "\n")
     n = sum(len(s["entities"]) for s in sentences)
     print(f"wrote {OUT} ({len(sentences)} sentences, {n} entities)")
+
+    first = _resolve(RECORDED_FIRST)
+    # the "first" contract: offsets ALWAYS snap to whole words
+    for s in first:
+        for e in s["entities"]:
+            before = s["text"][e["start"] - 1] if e["start"] > 0 else " "
+            after = s["text"][e["end"]] if e["end"] < len(s["text"]) else " "
+            assert before in " " and after in " .,", (s["text"], e)
+    payload = {
+        "format": "hf token-classification pipeline, aggregation_strategy=first",
+        "sentences": first,
+    }
+    OUT_FIRST.write_text(json.dumps(payload, indent=1) + "\n")
+    n = sum(len(s["entities"]) for s in first)
+    print(f"wrote {OUT_FIRST} ({len(first)} sentences, {n} entities)")
 
 
 if __name__ == "__main__":
