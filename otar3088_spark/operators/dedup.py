@@ -84,13 +84,16 @@ def minhash_signatures(
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature, bucket-join on (band_idx, band_hash) -> candidate
-    pairs (id1 < id2). Shuffle keys are band buckets — collisions only."""
+    """(id, band_idx, band_hash) — one row per (doc, band): the signature
+    sliced into ``bands`` runs of ``rows_per_band`` values, each run packed
+    into a single bucket-key string. Shared by the candidate join and the
+    bucket-histogram diagnostics (tools/dedup_scale.py) so measurement can
+    never drift from the production banding."""
     assert bands * rows_per_band <= 1 << 10
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(
             F.array(
@@ -107,6 +110,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join on (band_idx, band_hash) -> candidate
+    pairs (id1 < id2). Shuffle keys are band buckets — collisions only."""
+    banded = banded_signatures(signatures, bands, rows_per_band)
     # SELF-join of the banded table: both sides are |docs| x bands rows, so
     # broadcasting either is categorically wrong beyond toy corpora — at 1M
     # docs the 8M-row build side OOMs the driver's broadcast build (measured,

@@ -125,12 +125,25 @@ def build_ner_dataset(
     # validate BOTH splits before writing EITHER: write_hf_dataset refuses an
     # empty split, and on a tiny corpus the key-hash val split can land empty
     # — failing after the train shards committed would leave a partial
-    # dataset dir (train + card, no validation) with no cleanup. LIMIT-1
-    # probes are footer-cheap against the staging snapshot.
+    # dataset dir (train + card, no validation) with no cleanup. ONE
+    # aggregation job over the iob table decides both (split membership is a
+    # pure function of the key — augmentation never changes row counts);
+    # with staging_dir this reads the snapshot, without it the upstream DAG
+    # runs once for the probe instead of once per split.
+    from otar3088_spark.operators.labelset import split_fraction_expr
+
+    frac = split_fraction_expr(("conv_id", "turn_idx", "sent_idx"), seed=seed)
+    counts = iob.select(
+        F.count(F.lit(1)).alias("total"),
+        F.coalesce(F.sum((frac < val_fraction).cast("long")), F.lit(0)).alias("n_val"),
+    ).collect()[0]
     empty = [
         name
-        for name, d in (("train", train), ("validation", val))
-        if d.limit(1).count() == 0
+        for name, n in (
+            ("train", counts["total"] - counts["n_val"]),
+            ("validation", counts["n_val"]),
+        )
+        if n == 0
     ]
     if empty:
         raise ValueError(

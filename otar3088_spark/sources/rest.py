@@ -16,6 +16,9 @@ thing and is what this module owns.
 
 from __future__ import annotations
 
+import itertools
+import weakref
+from collections import OrderedDict
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -35,7 +38,33 @@ SEARCH_RESULT_SCHEMA = T.StructType(
 # fetcher(query, page) -> list[(doc_id, title, pub_type)]
 Fetcher = Callable[[str, int], list[tuple[str, str, str]]]
 
-_SESSION: dict[str, object] = {}
+# per-worker fetcher cache, LRU-bounded: with per-object keys a long-lived
+# reused worker would otherwise accumulate one (possibly connection-holding)
+# fetcher per job forever
+_SESSION: OrderedDict[str, object] = OrderedDict()
+_SESSION_MAX = 8
+
+# Driver-side fetcher identity tokens. id() alone is NOT identity — CPython
+# reuses a freed object's address, so a loop building one closure per job
+# (same qualname, recycled address) would collide keys and revive the exact
+# stale-fetcher bug the key exists to prevent. A token from this counter is
+# handed out once per LIVE object (WeakKeyDictionary: entry dies with the
+# object, a recycled address gets a FRESH token); non-weak-referenceable
+# callables get a fresh token per call — losing cross-job session reuse,
+# never correctness.
+_FETCHER_TOKENS: "weakref.WeakKeyDictionary[object, int]" = weakref.WeakKeyDictionary()
+_FETCHER_SEQ = itertools.count()
+
+
+def _fetcher_token(fetcher) -> int:
+    try:
+        tok = _FETCHER_TOKENS.get(fetcher)
+        if tok is None:
+            tok = next(_FETCHER_SEQ)
+            _FETCHER_TOKENS[fetcher] = tok
+        return tok
+    except TypeError:
+        return next(_FETCHER_SEQ)
 
 
 def fake_fetcher(query: str, page: int) -> list[tuple[str, str, str]]:
@@ -82,21 +111,25 @@ def fetch_search_results(
     # batches of ONE fetcher, not to pin the first fetcher forever.
     # qualname alone is NOT identity: two closures minted by the same
     # factory (same qualname, different base URL) must not share a slot, so
-    # the driver-side id() joins the key. id() is computed HERE (driver),
-    # closed over, and therefore stable for every task of this job;
-    # same-object reuse across jobs keeps hitting the same slot.
+    # a driver-side per-object token joins the key (_fetcher_token above —
+    # address-reuse-proof, unlike raw id()). The token is resolved HERE
+    # (driver), closed over, and therefore stable for every task of this
+    # job; same-object reuse across jobs keeps hitting the same slot.
     fkey = cache_key or (
         "fetcher:"
         + (
             "fake"
             if fetcher is None
-            else f"{fetcher.__module__}.{getattr(fetcher, '__qualname__', repr(fetcher))}@{id(fetcher)}"
+            else f"{fetcher.__module__}.{getattr(fetcher, '__qualname__', repr(fetcher))}@{_fetcher_token(fetcher)}"
         )
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         f = _SESSION.get(fkey) or fetcher or fake_fetcher
         _SESSION[fkey] = f
+        _SESSION.move_to_end(fkey)
+        while len(_SESSION) > _SESSION_MAX:
+            _SESSION.popitem(last=False)
         for pdf in batches:
             rows = []
             for q in pdf["search_query"]:

@@ -315,6 +315,22 @@ def transcripts_spark(spark, n_turns: int, turns_per_conv: int = 20, skew_frac: 
     )
 
 
+def _dup_threshold(dup_frac: float) -> int:
+    # round, don't truncate: int(0.3 * 1000) == 299 under IEEE-754, which
+    # would silently shift the planted count off the advertised fraction
+    return int(round(dup_frac * 1_000))
+
+
+def planted_dup_pairs(n_docs: int, dup_frac: float = 0.2) -> int:
+    """EXACT number of near-dup twin pairs documents_spark(n, dup_frac)
+    plants — the recall denominator for scale harnesses. Counts odd ids i
+    with i % 1000 < threshold (each twin pair is (i-1, i))."""
+    t = _dup_threshold(dup_frac)
+    odd_per_k = len(range(1, min(t, 1000), 2))
+    full, rem = divmod(n_docs, 1_000)
+    return full * odd_per_k + len([r for r in range(1, min(t, rem), 2)])
+
+
 def documents_spark(spark, n_docs: int, dup_frac: float = 0.2, doc_tokens: int = 24):
     """Bench-scale document generator with PLANTED near-duplicate structure:
     pure column expressions over ``spark.range`` — distributed,
@@ -325,8 +341,8 @@ def documents_spark(spark, n_docs: int, dup_frac: float = 0.2, doc_tokens: int =
     extra token, giving 3-shingle Jaccard ≈ (T-2-k)/T ≈ 0.9 at the default
     length — above any standard near-dup threshold, below 1.0 (exact-dedup
     must NOT collapse them). ``dup_frac`` of all docs are such twins; all
-    other docs are hash-unique, so expected true-pair count =
-    ``n_docs * dup_frac / 2`` exactly and LSH bucket sizes stay O(cluster),
+    other docs are hash-unique, so the true-pair count is exactly
+    ``planted_dup_pairs(n_docs, dup_frac)`` and LSH bucket sizes stay O(cluster),
     never corpus-wide — the property that keeps the band join linear.
     """
     from pyspark.sql import functions as F
@@ -336,7 +352,7 @@ def documents_spark(spark, n_docs: int, dup_frac: float = 0.2, doc_tokens: int =
     # odd ids inside the dup range are twins of id-1; planted deterministically
     # by id arithmetic so ANY subset of ids still has a well-defined corpus
     is_dup = (F.col("id") % 2 == 1) & (
-        (F.col("id") % 1_000) < int(dup_frac * 1_000)
+        (F.col("id") % 1_000) < _dup_threshold(dup_frac)
     )
     text_seed = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
 

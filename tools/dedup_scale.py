@@ -4,8 +4,8 @@ near-dup detection at millions of synthetic documents.
 
 The corpus is ``synth.documents_spark`` — pure column expressions with
 PLANTED near-dup twins (dup_frac of all docs; expected pair count is exact:
-n_docs * dup_frac / 2), so recall is checkable at any scale without an
-oracle run. Per scale point this measures:
+``synth.planted_dup_pairs``), so recall is checkable at any scale without
+an oracle run. Per scale point this measures:
 
 * wall-clock + docs/sec for the FULL pipeline (signatures -> banded
   candidates -> exact-Jaccard verify), best-of-N;
@@ -33,24 +33,32 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--dup-frac", type=float, default=0.2)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="override spark.sql.shuffle.partitions — at 10M+ docs "
+                         "the session default (32) leaves ~7M-row sort runs per "
+                         "partition and the SMJ sorts spill; size so a partition "
+                         "holds ~1M exploded shingle rows")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from otar3088_spark.operators.dedup import (
+        banded_signatures,
         lsh_candidate_pairs,
         minhash_near_dups,
         minhash_signatures,
     )
     from otar3088_spark.session import get_spark
-    from otar3088_spark.synth import documents_spark
+    from otar3088_spark.synth import documents_spark, planted_dup_pairs
 
     spark = get_spark(app_name="dedup-scale", cores=args.cores)
+    if args.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     spark.range(1000).count()
 
     for n in args.docs:
         docs = documents_spark(spark, n, dup_frac=args.dup_frac)
-        expected = int(n * args.dup_frac / 2)
+        expected = planted_dup_pairs(n, args.dup_frac)
 
         best, found = float("inf"), -1
         for _ in range(max(args.reps, 1)):
@@ -61,22 +69,9 @@ def main() -> None:
         # candidate volume + bucket histogram from the same signature plan
         sig = minhash_signatures(docs)
         n_cand = lsh_candidate_pairs(sig).count()
-        rpb = 4
-        banded = sig.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            "_",
-                            *[F.col("sig")[b * rpb + r].cast("string") for r in range(rpb)],
-                        )
-                        for b in range(8)
-                    ]
-                )
-            ).alias("band_idx", "band_hash")
-        )
         hist = (
-            banded.groupBy("band_idx", "band_hash")
+            banded_signatures(sig)
+            .groupBy("band_idx", "band_hash")
             .count()
             .groupBy(F.col("count").alias("bucket_size"))
             .agg(F.count(F.lit(1)).alias("n_buckets"))
