@@ -50,9 +50,12 @@ ALLOC_CONTROL_REF_SEC = 3.9
 # slow — shuffle/tmpfs/page-cache bandwidth is orthogonal to the CPU and
 # allocation axes. simhash_buckets is the smallest plan-stable member of
 # that family (one explode + 64 conditional sums + one groupBy); reference
-# is the committed healthy best-of-3 band floor (r1-r4: 1.94-2.79s).
+# is the committed healthy best-of-3 reference measured the way the
+# control actually runs: FIRST query of a fresh session (cold codegen for
+# the 64-bit conditional-sum class; battery-warm repeats read ~1.9s, the
+# session-cold best-of-3 on a verified-healthy window reads ~2.5s).
 SHUFFLE_CONTROL_QUERY = "simhash_buckets"
-SHUFFLE_CONTROL_REF_SEC = 2.1
+SHUFFLE_CONTROL_REF_SEC = 2.5
 
 # Committed healthy best-of per query (min over rounds 1-5 records on
 # controls-verified windows; iob_roundtrip re-stamped after the round-6
@@ -67,9 +70,10 @@ HEALTHY_REF = {
     "dedup_first_wins": 0.38, "distinct_set_audit": 0.31,
     "embedding_near_dups": 2.18, "filter_battery": 0.35,
     "fingerprint": 0.19, "iob_roundtrip": 6.3, "json_props": 0.50,
+    "ner_dataset": 5.7,
     "kg_pipeline": 7.27, "kg_pipeline_full": 9.57, "kg_triples": 4.47,
     "kg_triples_gazetteer": 3.82, "mentions_rollup": 3.56,
-    "minhash_near_dups": 2.43, "minhash_near_dups_md5": 5.18,
+    "minhash_near_dups": 2.60, "minhash_near_dups_md5": 5.97,
     "mode_priority": 0.40, "model_mentions": 0.39, "multiway_join": 0.70,
     "ngram_jaccard_pairs": 1.00, "pricing_summary": 0.64,
     "quality_score": 0.29, "right_join_dedup": 0.70, "semi_anti": 0.68,
