@@ -52,18 +52,25 @@ def run(cores: int, turns: int) -> float:
     return json.loads(line)["kg"]["kg_turns_per_sec"]
 
 
-def best(cores: int, turns: int, reps: int) -> tuple[float, list[float]]:
-    runs = [run(cores, turns) for _ in range(reps)]
-    return max(runs), runs
-
-
 def main() -> None:
     turns = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "1600000"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
-    tps2, runs2 = best(2, turns, reps)
-    tps8, runs8 = best(8, turns, reps)
-    tps32, runs32 = best(32, turns, max(1, reps - 1))
+    # INTERLEAVE the primary pair's sessions (2,8,2,8,...) instead of
+    # phasing them (2,2,...,8,8,...): this box's state drifts on ~10-minute
+    # scales, and a phased schedule can hand one core count a healthy
+    # window and the other a degraded one — round-6 measured a 2-core
+    # best-ever alongside a below-par 8-core in one phased run, turning a
+    # healthy 0.85 efficiency into a spurious 0.685. Interleaving makes
+    # both configs sample the same window mix; best-of-reps then compares
+    # like with like.
+    runs2, runs8 = [], []
+    for _ in range(reps):
+        runs2.append(run(2, turns))
+        runs8.append(run(8, turns))
+    tps2, tps8 = max(runs2), max(runs8)
+    runs32 = [run(32, turns) for _ in range(max(1, reps - 1))]
+    tps32 = max(runs32)
 
     eff_2_8 = round((tps8 / tps2) / 4, 3)
     eff_8_32 = round((tps32 / tps8) / 4, 3)
