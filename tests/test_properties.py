@@ -166,3 +166,94 @@ def test_norm_key_expr_escapes_quoted_overrides(spark):
         "x\\ys": "x\\y",         # backslash key
         "plains": "plain",       # plain destem unaffected
     }
+
+
+def test_fuzz_spans_to_iob_matches_pure_python(spark):
+    """Seeded fuzz differential for the round-6 let-binding rewrite of
+    spans_to_iob: random sentences (with punctuation-wrapped and
+    punctuation-only tokens) and random spans, checked against a simple
+    pure-Python restatement of the semantics — core-extent coverage for
+    core tokens, raw-extent for punctuation-only tokens, B- on the first
+    covered token, min-label overlap break."""
+    import random
+    import re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from otar3088_spark.operators.spans import spans_to_iob
+
+    LEAD = re.compile(r"""^[(\["']+""")
+    TRAIL = re.compile(r"""[)\].,;:!?"']+$""")
+
+    def core(tok):
+        return TRAIL.sub("", LEAD.sub("", tok))
+
+    def lead(tok):
+        return len(tok) - len(LEAD.sub("", tok))
+
+    def ref_tags(text, spans):
+        toks = text.split(" ")
+        starts, pos = [], 0
+        for t in toks:
+            starts.append(pos)
+            pos += len(t) + 1
+
+        def covered(i, sp):
+            s, e, _ = sp
+            cl = len(core(toks[i]))
+            if cl > 0:
+                cs = starts[i] + lead(toks[i])
+                return cs >= s and cs + cl <= e
+            return starts[i] >= s and starts[i] + len(toks[i]) <= e
+
+        tags = []
+        for i in range(len(toks)):
+            covering = [sp for sp in spans if covered(i, sp)]
+            starting = [
+                sp for sp in covering if i == 0 or not covered(i - 1, sp)
+            ]
+            if starting:
+                tags.append("B-" + min(sp[2] for sp in starting))
+            elif covering:
+                tags.append("I-" + min(sp[2] for sp in covering))
+            else:
+                tags.append("O")
+        return tags
+
+    rng = random.Random(20260818)
+    words = ["hela", "cell", "lines", "grew", "fast", "x", "(", ")", "''", "a,b"]
+    wraps = ["{}", "({}", "{}.", '"{})', "{},"]
+    rows, span_rows, expect = [], [], {}
+    for si in range(120):
+        toks = [
+            rng.choice(wraps).format(rng.choice(words))
+            for _ in range(rng.randint(1, 12))
+        ]
+        text = " ".join(toks)
+        n_sp = rng.randint(0, 4)
+        spans = []
+        for _ in range(n_sp):
+            a = rng.randint(0, max(len(text) - 1, 0))
+            b = rng.randint(a + 1, len(text))
+            spans.append((a, b, rng.choice(["Obj", "Sys", "Expr"])))
+        rows.append((f"c{si}", 0, 0, text))
+        for (a, b, lab) in spans:
+            span_rows.append((f"c{si}", 0, 0, a, b, lab))
+        expect[f"c{si}"] = (toks, ref_tags(text, spans))
+
+    sents = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "sent_idx", "sent_text"])
+    )
+    spans_df = spark.createDataFrame(
+        pd.DataFrame(
+            span_rows, columns=["conv_id", "turn_idx", "sent_idx", "start", "end", "label"]
+        ).astype({"start": "int32", "end": "int32"})
+    )
+    got = {
+        r["conv_id"]: (list(r["tokens"]), list(r["tags"]))
+        for r in spans_to_iob(sents, spans_df).collect()
+    }
+    assert set(got) == set(expect)
+    mismatches = {k: (got[k], expect[k]) for k in expect if got[k] != expect[k]}
+    assert not mismatches, list(mismatches.items())[:3]
