@@ -9,16 +9,17 @@ touches bucket-collision pairs (LSH), never the quadratic cross product.
 Operators:
 * exact_dedup        — hash-groupBy on normalized text (first/min wins)
 * shingles           — word n-gram shingling (expression helper)
-* minhash_signatures — k independent min-hashes per doc (explode + groupBy
-                       with k ``min(xxhash64(seed_i, sh))`` aggregates)
-* lsh_candidate_pairs— band/bucket join → candidate pairs (dedup by bands)
-* minhash_near_dups  — LSH candidates verified by exact Jaccard (inverted
-                       index join, same shape as queries.q_ngram_jaccard_pairs)
+* minhash_signatures — k independent min-hashes per doc, computed per row
+                       over the distinct-shingle array (zero shuffle)
+* lsh_candidate_pairs— band/bucket groupBy → per-bucket (id1<id2) pairs
+* minhash_near_dups  — LSH candidates verified by exact Jaccard
+                       (array_intersect over per-doc shingle arrays)
 * simhash            — 64-bit SimHash per doc via per-bit sign sums
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,11 +48,76 @@ def shingles_expr(text_col: Column, k: int = 3) -> Column:
     sh = cols[0]
     for c in cols[1:]:
         sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
-    # zip_with pads the tail with nulls -> concat_ws drops them, producing
-    # short shingles; a true k-shingle has exactly k-1 spaces.
-    return F.array_distinct(
-        F.filter(sh, lambda s: F.size(F.split(s, " ")) == k)
-    )
+    # every slice above is already length n-k+1, so zip_with never pads and
+    # each element is a true k-shingle by construction; the historical
+    # per-shingle `size(split(s, " ")) == k` filter was a semantic no-op
+    # (verified over all sf corpora + edge texts, round 7) that cost one
+    # interpreted split per shingle instance in every consumer.
+    return F.array_distinct(sh)
+
+
+def _md5_sig_udf(num_hashes: int, shingle_k: int):
+    """Arrow-vectorized md5-family min-hash: NORMALIZED text in, signature
+    array (num_hashes md5 hex-string mins) out; NULL when the text yields
+    no k-shingle (the caller filters those rows, matching the explode
+    formulation where shingle-less docs produced no rows).
+
+    The JVM ``Md5`` expression costs ~11 us per call (DigestUtils allocates
+    a fresh MessageDigest per invocation — measured round 7: 32 md5
+    projections over the sf1.0 exploded shingle table = 28 s of an
+    originally 38 s signature job, vs 1.9 s for the same shape under
+    xxhash64). CPython's ``hashlib.md5`` is the same digest at a fraction
+    of the per-call cost, and a per-task memo collapses repeated shingles
+    (word-shingle corpora are Zipfian — the synthetic bench corpus has 931
+    distinct shingles across 2.6M instances; real prose still repeats its
+    head bigrams heavily).
+
+    Shingling happens HERE, from text the JVM already normalized with
+    ``normalized_text_expr`` (so the locale/regex-sensitive steps stay in
+    one engine): the text is single-spaced and trimmed, tokens can be
+    neither empty nor contain spaces, hence adjacent k-gram joins replicate
+    ``shingles_expr`` exactly (including its exactly-k-tokens filter), and
+    only |docs| short strings cross the Arrow boundary instead of the
+    |docs| x shingles/doc exploded table. C-level ``min`` over ASCII hex
+    strings is the same binary ordering as UTF8String / DuckDB ``min``, so
+    signature values are bit-identical to the expression form. This is the
+    sanctioned Arrow-batch surface (same as model inference), not a
+    row-at-a-time scalar UDF."""
+    import hashlib
+
+    memo: dict[str, tuple] = {}
+    prefixes = [f"{i}|".encode() for i in range(num_hashes)]
+
+    @F.pandas_udf("array<string>")
+    def sigs(nt: pd.Series) -> pd.Series:
+        out = []
+        for text in nt:
+            if not text:
+                out.append(None)
+                continue
+            toks = text.split(" ")
+            n = len(toks) - shingle_k + 1
+            if n <= 0:
+                out.append(None)
+                continue
+            rows = []
+            seen = set()
+            for j in range(n):
+                s = " ".join(toks[j : j + shingle_k])
+                if s in seen:
+                    continue
+                seen.add(s)
+                v = memo.get(s)
+                if v is None:
+                    b = s.encode()
+                    v = tuple(hashlib.md5(p + b).hexdigest() for p in prefixes)
+                    if len(memo) < 1_000_000:  # bound per-task memory
+                        memo[s] = v
+                rows.append(v)
+            out.append([min(col) for col in zip(*rows)])
+        return pd.Series(out)
+
+    return sigs
 
 
 def minhash_signatures(
@@ -64,24 +130,45 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array) — k independent min-hashes per document.
 
-    Explode distinct shingles once, then ONE groupBy computing k
-    ``min(hash_i(shingle))`` aggregates — map-side partial aggregation keeps
-    shuffle volume at k values per doc regardless of document size.
-
-    ``hash_fn``: ``xxhash64`` (JVM-fast, the production path) or ``md5str``
-    (min over ``md5(i || '|' || shingle)`` hex strings — lexicographic min of
+    ``hash_fn``: ``xxhash64`` (the production path) or ``md5str`` (min over
+    ``md5(i || '|' || shingle)`` hex strings — lexicographic min of
     fixed-width hex equals numeric min, and DuckDB evaluates the identical
-    expression, making the whole LSH pipeline oracle-checkable)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_k)).alias("sh")
-    )
+    expression, making the whole LSH pipeline oracle-checkable).
+
+    Two execution strategies, chosen by hash family (both return identical
+    schemas and, per family, identical values to every earlier round):
+
+    * ``xxhash64`` — explode distinct shingles + ONE groupBy with k
+      ``min(xxhash64(seed_i, sh))`` aggregates. Long buffers take the
+      unsafe-row hash-aggregate fast path and xxhash64 is codegen-cheap
+      (~2 s for 32 x 2.6M hashes at sf1.0); map-side partials keep shuffle
+      volume at k longs per doc. A per-row HOF formulation was measured 3x
+      WORSE here (interpreted lambda eval per element).
+    * ``md5str`` — Arrow-vectorized per-row signature over the per-doc
+      shingle array (see _md5_sig_udf): no explode, no aggregate, and the
+      md5 work runs through hashlib at native speed with per-task shingle
+      memoization. The expression form pays ~11 us per JVM md5 call (28 s
+      at sf1.0) AND falls back to SortAggregate (min over STRING buffers is
+      not hash-aggregatable), sorting the exploded table per consumer.
+
+    Docs with no shingles produce no signature row in either strategy."""
     if hash_fn == "md5str":
-        hexpr = lambda i: F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))
-    else:
-        hexpr = lambda i: F.xxhash64(F.lit(i), F.col("sh"))
-    aggs = [F.min(hexpr(i)).alias(f"h{i}") for i in range(num_hashes)]
+        base = docs.select(
+            F.col(id_col).alias("id"),
+            normalized_text_expr(F.col(text_col)).alias("_nt"),
+        )
+        return base.select(
+            "id", _md5_sig_udf(num_hashes, shingle_k)(F.col("_nt")).alias("sig")
+        ).filter(F.col("sig").isNotNull())
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def banded_signatures(
@@ -115,27 +202,43 @@ def banded_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature, bucket-join on (band_idx, band_hash) -> candidate
-    pairs (id1 < id2). Shuffle keys are band buckets — collisions only."""
-    banded = banded_signatures(signatures, bands, rows_per_band)
-    # SELF-join of the banded table: both sides are |docs| x bands rows, so
-    # broadcasting either is categorically wrong beyond toy corpora — at 1M
-    # docs the 8M-row build side OOMs the driver's broadcast build (measured,
-    # round 6) while AQE's size estimate (compact shuffle bytes, not in-
-    # memory HashedRelation) still says "broadcastable"; a shuffle-hash
-    # build-side map OOMs tasks the same way one scale later. Pin SORT-MERGE:
-    # spillable on both sides, co-partitioned on the bucket key, and the
-    # join stays one exchange + sort at any corpus size — the only strategy
-    # whose memory footprint is O(partition run), not O(partition).
-    a, b = banded.alias("a"), banded.hint("merge").alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    """Band the signature, bucket the banded table on (band_idx, band_hash),
+    emit all (id1 < id2) pairs per bucket. Shuffle keys are band buckets —
+    collisions only, never the cross product.
+
+    ONE aggregation instead of the former SELF-join: the join consumed the
+    whole signature subplan twice (the two sides shuffle-partition
+    identically but alias differently, so ReuseExchange never fired —
+    measured round 7: 2x scans + 2x signature hashing), and pinning it
+    sort-merge (the r6 broadcast-OOM lesson) paid two full sorts of the
+    |docs| x bands table. groupBy + collect_list ships the same bytes
+    through one exchange with map-side partials, computes signatures ONCE,
+    and the per-bucket pair expansion is array work over measured-small
+    buckets (10M-doc histogram: max bucket 643 — BENCH/SCALE_POINTS.md).
+    Memory per task is O(max bucket), the same bound the sort-merge join's
+    matching-run buffer had; a degenerate corpus (10^5 identical docs in
+    one bucket) blows up either formulation at the b^2 output, not here."""
+    banded = banded_signatures(signatures, bands, rows_per_band).filter(
+        F.col("id").isNotNull()
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size(F.col("ids"))
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("id1"), b.alias("id2")),
+            ),
         )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
     )
 
@@ -147,50 +250,47 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard for given candidate pairs via an inverted-index join."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_k)).alias("sh")
-    ).distinct()
-    # per-doc set sizes straight from the doc row (array_distinct + size) —
-    # computing them from `sh` would add a THIRD consumer of the exploded/
-    # distinct subplan (s1 + s2 already consume it twice) and re-shingle
-    # the corpus once more when ReuseExchange doesn't kick in
-    sizes = docs.select(
+    """Exact Jaccard for given candidate pairs.
+
+    Shingle SETS stay as per-doc arrays: two joins attach each side's
+    distinct-shingle array to the pair row, then the intersection is
+    ``size(array_intersect(sh1, sh2))`` computed array-side. The former
+    inverted-index formulation exploded the corpus to (id, shingle) rows and
+    shuffled that |docs| x shingles/doc table TWICE (once by id1, once by
+    (id2, shingle)) plus a separate corpus-sized ``sizes`` table twice more
+    — four full shuffles + sorts to verify a candidate set that is orders of
+    magnitude smaller than the corpus. Here the corpus-sized side is ONE row
+    per doc (the array), both join sides shuffle by the same key (id) so the
+    second scan's exchange is reusable, and sizes are ``size(arr)`` for free.
+
+    Join strategy: every doc-side input scales with the corpus — same
+    sort-merge reasoning as lsh_candidate_pairs. The hint is load-bearing:
+    Catalyst's STATIC size estimate descends from the source's sizeInBytes
+    (a spark.range generator reports 8 bytes/row; heavily-filtered parquet
+    lies the same way), so at 1M docs the planner happily broadcast a
+    corpus-sized side and died building a 23M-row driver HashedRelation
+    (measured, round 6)."""
+    doc_sh = docs.select(
         F.col(id_col).alias("id"),
-        F.size(F.array_distinct(shingles_expr(F.col(text_col), shingle_k))).alias("sz"),
+        shingles_expr(F.col(text_col), shingle_k).alias("sh_arr"),
     )
-    s1 = sh.select(F.col("id").alias("id1"), F.col("sh"))
-    s2 = sh.select(F.col("id").alias("id2"), F.col("sh"))
-    # every sh-derived side scales with the corpus (|docs| x shingles-per-
-    # doc rows): same sort-merge reasoning as the banded self-join above —
-    # neither a broadcast build nor a per-task hash map may be corpus-sized.
-    # The hint is load-bearing even though "obviously" s1 is huge: Catalyst's
-    # STATIC size estimate descends from the source's sizeInBytes (a
-    # spark.range generator reports 8 bytes/row; heavily-filtered parquet
-    # lies the same way), so at 1M docs the planner happily chose
-    # BuildRight(s1) and died building a 23M-row driver HashedRelation.
-    inter = (
-        pairs.join(s1.hint("merge"), "id1")
-        .join(s2.hint("merge"), ["id2", "sh"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    d1, d2 = doc_sh.alias("d1"), doc_sh.alias("d2")
+    j = (
+        pairs.join(d1.hint("merge"), F.col("id1") == F.col("d1.id"))
+        .join(d2.hint("merge"), F.col("id2") == F.col("d2.id"))
     )
-    # the sizes table is ALSO corpus-sized (one row per doc) — same rule
-    return (
-        inter.join(
-            sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1").hint("merge"),
-            "id1",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2").hint("merge"),
-            "id2",
-        )
-        .select(
-            "id1",
-            "id2",
-            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
-        )
+    # let-bind the intersection size via a lambda variable so it is computed
+    # once per pair (CollapseProject inlines withColumn aliases into every
+    # use site — the round-6 spans.py lesson)
+    jac = F.element_at(
+        F.transform(
+            F.array(F.size(F.array_intersect(F.col("d1.sh_arr"), F.col("d2.sh_arr")))),
+            lambda i: i
+            / (F.size(F.col("d1.sh_arr")) + F.size(F.col("d2.sh_arr")) - i),
+        ),
+        1,
     )
+    return j.select("id1", "id2", jac.alias("jaccard"))
 
 
 def minhash_near_dups(
