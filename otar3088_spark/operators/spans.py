@@ -85,73 +85,112 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     # covered iff their RAW extent fits — so an external span over
     # "poly ( ADP-ribose ) polymerase" tags the interior "(" / ")" I-
     # instead of O (one annotation, one round-tripped span). The FIRST
-    # covered token of a span gets B- — literally "no earlier token is
-    # covered by this span", checked against the previous token's extent,
-    # so spans whose start lands on inter-token punctuation/space (external
-    # annotations, e.g. BioC offsets) still open correctly — matching the
-    # reference IOBConverter which tags the first fully-contained token B-
-    # (iob_converter.py:47-68). Min label breaks overlaps deterministically.
-    # hoisted path (default): evaluate the per-token geometry (raw end, core
-    # start, core length) ONCE per row as parallel int arrays, so the
-    # per-(token x span) lambdas are pure try_element_at arithmetic. Two
-    # pitfalls shaped this formulation (both measured, round 6):
-    # * HOF lambda bodies never enter whole-stage codegen — they are
-    #   interpreted per array element — so the inline alternative pays a
-    #   regexp_replace tree per (token x span x {current,prev}).
-    # * Hoisting via withColumn does NOT help: CollapseProject inlines the
-    #   alias into every use site, re-evaluating the whole geometry ARRAY
-    #   per lookup (measured 450s vs 16s at sf0.1). The arrays must be bound
-    #   to a LAMBDA VARIABLE — transform(array(struct(...)), g -> ...) is a
-    #   let-binding the optimizer cannot inline through.
-    geom = F.struct(
-        F.zip_with(
-            "starts", F.transform("toks", F.length), lambda s, l: s + l
-        ).alias("raw_end"),
-        F.transform(
-            "toks", lambda t: F.length(token_core_expr(t))
-        ).alias("core_len"),
-        F.transform(
-            "toks",
-            lambda t, i: F.element_at(F.col("starts"), i + 1) + token_lead_expr(t),
-        ).alias("core_start"),
+    # covered token of a span gets B- — matching the reference IOBConverter
+    # which tags the first fully-contained token B- (iob_converter.py:47-68);
+    # spans whose start lands on inter-token punctuation/space (external
+    # annotations, e.g. BioC offsets) still open correctly. Min label breaks
+    # overlaps deterministically.
+    #
+    # Formulation (round 7, ~2x over the per-(token x span x {cur,prev})
+    # predicate of rounds 1-6):
+    # 1. fold each token's CHOSEN extent — core extent for core tokens, raw
+    #    extent for punctuation-only tokens — into two int arrays (cs, ce),
+    #    so one coverage test is two lookups + two compares instead of the
+    #    ~12-op core/raw case analysis;
+    # 2. TRANSPOSE: per span, compute the covered-token interval [ts, te]
+    #    with ONE filter pass. Chosen extents are strictly increasing in
+    #    token position, so the covered set {i: cs_i >= start} n
+    #    {i: ce_i <= end} is an up-set intersected with a down-set — always
+    #    contiguous — and "token i starts span p" (no earlier covered
+    #    token) is exactly ts == i;
+    # 3. per token, B-/I- labels are interval-membership mins over the tiny
+    #    interval array (two int compares per (token, span)) — the old
+    #    shape re-ran the full coverage predicate per (token, span) for the
+    #    current AND previous token.
+    # All shared arrays are bound as LAMBDA VARIABLES (transform over a
+    # 1-element array): HOF lambda bodies never enter whole-stage codegen,
+    # and withColumn hoists get re-inlined by CollapseProject into every
+    # use site (measured 450s vs 16s at sf0.1, round 6) — the let-binding
+    # is the only hoist the optimizer cannot undo.
+    bind = lambda val, body: F.element_at(  # noqa: E731 — let-binding helper
+        F.transform(F.array(val), body), 1
     )
+    toks_c, starts_c, sp_c = F.col("toks"), F.col("starts"), F.col("sp")
+    seqn = F.sequence(F.lit(1), F.size(toks_c))
+    cl_arr = F.transform(toks_c, lambda t: F.length(token_core_expr(t)))
+    ld_arr = F.transform(toks_c, token_lead_expr)
 
-    def tags_with(g):
-        def cov_at(p, i1):
-            # i1 is a 1-based token index Column; out-of-range (prev of
-            # token 0) -> try_element_at NULL -> NULL, coalesced by caller.
-            # Branch-free AND/OR (not CASE WHEN): evaluates to the core
-            # check for core tokens, the raw-extent check for
-            # punctuation-only tokens (empty core) — see the "HeLa." note.
-            cl = F.try_element_at(g["core_len"], i1)
-            cs = F.try_element_at(g["core_start"], i1)
-            core_ok = (cs >= p["start"]) & ((cs + cl) <= p["end"])
-            raw_ok = (F.try_element_at(F.col("starts"), i1) >= p["start"]) & (
-                F.try_element_at(g["raw_end"], i1) <= p["end"]
-            )
-            return ((cl > 0) & core_ok) | (~(cl > 0) & raw_ok)
+    def chosen_extents(cl, ld):
+        cs = F.transform(
+            seqn,
+            lambda i: F.element_at(starts_c, i)
+            + F.when(F.element_at(cl, i) > 0, F.element_at(ld, i)).otherwise(0),
+        )
+        ce = F.transform(
+            seqn,
+            lambda i: F.when(
+                F.element_at(cl, i) > 0,
+                F.element_at(starts_c, i) + F.element_at(ld, i) + F.element_at(cl, i),
+            ).otherwise(F.element_at(starts_c, i) + F.length(F.element_at(toks_c, i))),
+        )
+        return cs, ce
 
-        def tag_at(t, i):
-            covering = F.filter(F.col("sp"), lambda p: cov_at(p, i + 1))
-            starting = F.filter(
-                covering,
-                lambda p: (i == 0)
-                | ~F.coalesce(cov_at(p, i), F.lit(False)),  # 1-based i == prev
-            )
-            b_label = F.array_min(F.transform(starting, lambda p: p["label"]))
-            i_label = F.array_min(F.transform(covering, lambda p: p["label"]))
-            return (
-                F.when(F.size(starting) > 0, F.concat(F.lit("B-"), b_label))
-                .when(F.size(covering) > 0, F.concat(F.lit("I-"), i_label))
-                .otherwise(F.lit("O"))
+    def tags_expr(cl, ld):
+        cs, ce = chosen_extents(cl, ld)
+
+        def with_extents(cs_b, ce_b):
+            idx0 = F.sequence(F.lit(0), F.size(toks_c) - 1)
+            ivals = F.filter(
+                F.transform(
+                    sp_c,
+                    lambda p: bind(
+                        F.filter(
+                            idx0,
+                            lambda i: (F.element_at(cs_b, i + 1) >= p["start"])
+                            & (F.element_at(ce_b, i + 1) <= p["end"]),
+                        ),
+                        lambda covs: F.struct(
+                            F.try_element_at(covs, F.lit(1)).alias("ts"),
+                            F.try_element_at(covs, F.lit(-1)).alias("te"),
+                            p["label"].alias("label"),
+                        ),
+                    ),
+                ),
+                lambda v: v["ts"].isNotNull(),
             )
 
-        return F.transform("toks", tag_at)
+            def tag_at(iv):
+                def per_token(t, i):
+                    b_label = F.array_min(
+                        F.transform(
+                            F.filter(iv, lambda v: v["ts"] == i),
+                            lambda v: v["label"],
+                        )
+                    )
+                    i_label = F.array_min(
+                        F.transform(
+                            F.filter(iv, lambda v: (v["ts"] <= i) & (i <= v["te"])),
+                            lambda v: v["label"],
+                        )
+                    )
+                    return (
+                        F.when(b_label.isNotNull(), F.concat(F.lit("B-"), b_label))
+                        .when(i_label.isNotNull(), F.concat(F.lit("I-"), i_label))
+                        .otherwise(F.lit("O"))
+                    )
+
+                return F.transform(toks_c, per_token)
+
+            return bind(ivals, tag_at)
+
+        return bind(cs, lambda cs_b: bind(ce, lambda ce_b: with_extents(cs_b, ce_b)))
 
     return j.select(
         *key3,
         F.col("toks").alias("tokens"),
-        F.element_at(F.transform(F.array(geom), tags_with), 1).alias("tags"),
+        bind(cl_arr, lambda cl: bind(ld_arr, lambda ld: tags_expr(cl, ld))).alias(
+            "tags"
+        ),
     )
 
 

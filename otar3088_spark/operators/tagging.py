@@ -392,11 +392,61 @@ def _tag_with_dim(
     # the dim's exploded allowed-form rows), and filter to anchor hits before
     # anything heavier exists.
     key3 = ["conv_id", "turn_idx", "sent_idx"]
-    if bigram_anchor:
-        # skewed-gazetteer mode: each position emits its unigram key AND the
-        # (key_i, key_{i+1}) pair key, so n==1 terms anchor as before while
-        # n>=2 terms block on true bigram matches. Costs one per-sentence
-        # keys array + 2x exploded rows (the documented trade-off).
+    uni_keyed = sentences.select(
+        *key3, F.posexplode(F.split(F.col("sent_text"), " ")).alias("pos0", "tok")
+    ).select(*key3, "pos0", F.lower(token_core_expr(F.col("tok"))).alias("key"))
+    heads = (
+        sorted({p.split(" ", 1)[0] for p in firsts if " " in p})
+        if (bigram_anchor and firsts is not None)
+        else None
+    )
+    if bigram_anchor and heads:
+        # skewed-gazetteer mode: n==1 terms anchor on unigram keys as
+        # before, while n>=2 terms block on (key_i, key_{i+1}) pair keys.
+        # Pair keys are emitted ONLY at positions whose key is a known pair
+        # HEAD (first word of some pair anchor in the plan-time IN-set) —
+        # every pair key not starting with a head cannot be in `firsts`, so
+        # the candidate set is unchanged while the struct/concat allocation
+        # runs on the rare head positions instead of every token (the
+        # r5-r6 shape built a 2-struct array + concat per token: 2x
+        # exploded rows and the whole-battery gap between the bigram and
+        # unigram queries). The keys array is bound as a lambda variable so
+        # the next-token lookup does not re-derive it per element.
+        pair_structs = F.element_at(
+            F.transform(
+                F.array(
+                    F.transform(
+                        F.split(F.col("sent_text"), " "),
+                        lambda t: F.lower(token_core_expr(t)),
+                    )
+                ),
+                lambda ks: F.filter(
+                    F.transform(
+                        ks,
+                        lambda k, i: F.when(
+                            k.isin(heads)
+                            & F.try_element_at(ks, i + 2).isNotNull(),
+                            F.struct(
+                                i.alias("pos0"),
+                                F.concat(
+                                    k, F.lit(" "), F.try_element_at(ks, i + 2)
+                                ).alias("key"),
+                            ),
+                        ),
+                    ),
+                    lambda s: s.isNotNull(),
+                ),
+            ),
+            1,
+        )
+        pair_keyed = sentences.select(
+            *key3, F.explode(pair_structs).alias("_s")
+        ).select(*key3, F.col("_s.pos0").alias("pos0"), F.col("_s.key").alias("key"))
+        keyed = uni_keyed.unionByName(pair_keyed)
+    elif bigram_anchor and heads is None:
+        # no plan-time IN-set (dictionary above the prefilter cap): emit the
+        # unigram AND pair key for every position — the broadcast hash join
+        # prunes non-anchors one stage later
         keys_arr = F.transform(
             F.split(F.col("sent_text"), " "),
             lambda t: F.lower(token_core_expr(t)),
@@ -425,107 +475,182 @@ def _tag_with_dim(
             *key3, F.col("_s.pos0").alias("pos0"), F.col("_s.key").alias("key")
         )
     else:
-        toks_df = sentences.select(
-            *key3, F.posexplode(F.split(F.col("sent_text"), " ")).alias("pos0", "tok")
-        )
-        keyed = toks_df.withColumn("key", F.lower(token_core_expr(F.col("tok"))))
+        # bigram_anchor with an empty pair-head set degenerates to the plain
+        # unigram plan (no dim row keys on a pair, so no pair key can match)
+        keyed = uni_keyed
     if firsts is not None:
         keyed = keyed.filter(F.col("key").isin(firsts))
     anchors = keyed.select(*key3, "pos0", F.col("key").alias("anchor_key"))
 
-    d = F.broadcast(d0)
+    # Anchored-prefix elision (dim-side, free): the anchor equi-join already
+    # PROVES the window's first position matches — the anchor key IS the
+    # token key at pos0 and the dim row's first_tok was exploded from
+    # allowed[1] (pair keys, which contain the one space corpus keys never
+    # can, prove positions 1-2). So validation only needs the allowed forms
+    # AFTER the anchored prefix: n==1 candidates (the bulk of reference
+    # gazetteers) validate tautologically with an empty tail, and the
+    # grouped-candidate shuffle ships no allowed-forms payload for them.
+    v0 = F.when(F.col("first_tok").contains(" "), F.lit(2)).otherwise(F.lit(1))
+    d = F.broadcast(
+        d0.withColumn("_v0", v0).withColumn(
+            "_atail",
+            F.slice(
+                F.col("allowed"), F.col("_v0") + 1, F.greatest(F.col("n") - F.col("_v0"), F.lit(0))
+            ),
+        )
+    )
     cand = anchors.join(d, anchors["anchor_key"] == d["first_tok"], "inner")
 
-    # --- stage 2: window validation on candidate rows only ------------------
-    # Join candidates back to the sentence table on the sentence key. Both
-    # sides descend from the SAME normalize exchange (hash(conv_id,turn_idx)
-    # clusters every sentence key), so this is a co-partitioned join — no new
-    # shuffle. Candidates are ~O(dictionary hit rate) per sentence, so the
-    # full-norm window comparison below runs per CANDIDATE, not per token.
-    #
-    # Two offset formulations with opposite scaling (round-5 long-document
-    # stress, BENCH/TAGGING_STRESS.md):
-    # * default (short sentences, sparse candidates — the KG path): re-split
-    #   per candidate + O(pos) prefix fold. No per-sentence array
-    #   allocations; cheapest when candidates/sentence is low and sentences
-    #   are short (allocation bandwidth is this box's wall).
-    # * precompute_offsets=True (whole documents as single sentences): token
-    #   + offset arrays are computed ONCE per sentence on the join's
-    #   sentence side, and every per-candidate expression becomes O(window)
-    #   via element_at — total work linear in corpus size instead of
-    #   candidates x doc-length (quadratic in doc length when candidate
-    #   density is per-token).
-    sent_proj = sentences.select(*key3, "sent_text")
-    if precompute_offsets:
-        sent_proj = sent_proj.withColumn(
-            "_toks", F.split(F.col("sent_text"), " ")
-        ).withColumn("_starts", offsets_expr(F.col("_toks")))
-    withs = cand.join(sent_proj, key3, "inner")
-
-    n, pos0 = F.col("n"), F.col("pos0")
-    toks2 = F.col("_toks") if precompute_offsets else F.split(F.col("sent_text"), " ")
-    window = F.slice(toks2, pos0 + 1, n)
-    wkeys = F.transform(window, lambda t: F.lower(token_core_expr(t)))
-    in_bounds = n <= (F.size(toks2) - pos0)
-    # whole-window lemma equality via preimage membership: each window key
-    # must be one of the <=5 allowed surface forms of its position. zip_with
-    # pads a short (out-of-bounds) window with NULL keys -> NULL membership
-    # -> forall not TRUE; the explicit in_bounds conjunct keeps the intent
-    # readable.
-    all_ok = F.forall(
-        F.zip_with(
-            wkeys, F.col("allowed"), lambda w, al: F.array_contains(al, w)
-        ),
-        lambda x: x,
+    # --- stage 2: group candidates per sentence, attach the sentence ONCE ---
+    # The r1-r6 shape joined every CANDIDATE row back to the sentence table,
+    # which copied the per-sentence token/offset arrays once per candidate
+    # (726k copies of ~54-token arrays at sf1.0 — the join-back alone
+    # dominated the query on this allocation-bandwidth-bound box) and then
+    # paid a second shuffle for the containment-dedup groupBy. Grouping the
+    # candidates FIRST means: one shuffle of small candidate structs, a join
+    # whose output is one row per matched sentence, per-sentence arrays
+    # computed exactly once, and validation + span building + containment
+    # dedup all running array-side — the drop_contained exchange disappears
+    # from the plan entirely (2 Exchange -> 1; measured 9.3s -> ~4s at
+    # sf1.0). In the KG path both join inputs still descend from the same
+    # normalize exchange (hash(conv_id, turn_idx) satisfies the clustered
+    # distribution of every key3 operation), so no new shuffle appears
+    # there either. The grouped side's size is only known at runtime
+    # (post-aggregation), so AQE picks broadcast vs sort-merge from REAL
+    # sizes — scale-adaptive by construction.
+    cand_g = cand.groupBy(*key3).agg(
+        F.collect_list(
+            F.struct("pos0", "n", "_v0", "_atail", "term", "label", "ent_id")
+        ).alias("_cands")
     )
-    match = in_bounds & F.coalesce(all_ok, F.lit(False))
-    j = withs.withColumn("_w", window).filter(match)
+    sent_proj = sentences.select(*key3, "sent_text")
+    withs = sent_proj.join(cand_g, key3, "inner")
 
-    if precompute_offsets:
-        # O(1) per candidate: both char anchors are lookups into the
-        # per-sentence offsets array (try_element_at: Catalyst may evaluate
-        # projections under reordered/pushed predicates, round-1 lesson)
-        prefix_len = F.coalesce(F.try_element_at(F.col("_starts"), pos0 + 1), F.lit(0))
-        win_prefix = (
-            F.coalesce(F.try_element_at(F.col("_starts"), pos0 + n), F.lit(0))
-            - prefix_len
+    # --- stage 3: per-sentence validation, offsets and containment dedup ----
+    # Everything below is ONE expression over (sent_text, _cands), with the
+    # shared subresults bound as LAMBDA VARIABLES (transform over a 1-element
+    # array) — withColumn hoists would be re-inlined by CollapseProject into
+    # every use site (the round-6 spans.py lesson). Binding chain:
+    #   toks   = split(sent_text)              (token array, once/sentence)
+    #   starts = offsets_expr(toks)            (char offsets, once/sentence)
+    #   arr    = validated span structs        (per candidate, when(match))
+    #   dd     = per-(start,end,label) min-ent_id dedup over arr
+    #   kept   = longest-match containment filter over dd
+    # `precompute_offsets` is accepted for API stability: the unified shape
+    # computes offsets per MATCHED sentence only (sentences without anchors
+    # never reach this join), which dominates both historical variants.
+    def build_span(c, toks, starts):
+        n, p0 = c["n"], c["pos0"]
+        window = F.slice(toks, p0 + 1, n)
+        in_bounds = n <= (F.size(toks) - p0)
+        # whole-window lemma equality via preimage membership: each window
+        # key BEYOND the anchored prefix (see _atail above) must be one of
+        # the <=5 allowed surface forms of its position. The tail window is
+        # sliced relative to the anchored prefix; zip_with pads a short
+        # (out-of-bounds) tail with NULL keys -> NULL membership -> forall
+        # not TRUE; the explicit in_bounds conjunct keeps the intent
+        # readable. forall over an empty tail (n == v0) is TRUE — those
+        # candidates are proven by the anchor join alone.
+        wtail = F.slice(toks, p0 + c["_v0"] + 1, F.greatest(n - c["_v0"], F.lit(0)))
+        wkeys = F.transform(wtail, lambda t: F.lower(token_core_expr(t)))
+        all_ok = F.forall(
+            F.zip_with(
+                wkeys, c["_atail"], lambda w, al: F.array_contains(al, w)
+            ),
+            lambda x: x,
         )
-    else:
-        # offsets: start of token pos0 = sum(len+1) over preceding tokens —
-        # an O(pos) fold over a slice, no offsets array materialized.
-        prefix_len = F.aggregate(
-            F.slice(toks2, 1, pos0), F.lit(0), lambda acc, t: acc + F.length(t) + 1
+        match = in_bounds & F.coalesce(all_ok, F.lit(False))
+        # char anchors are lookups into the per-sentence offsets array
+        # (try_element_at: Catalyst may evaluate projections under
+        # reordered/pushed predicates, round-1 lesson)
+        prefix_len = F.coalesce(F.try_element_at(starts, p0 + 1), F.lit(0))
+        win_prefix = F.coalesce(F.try_element_at(starts, p0 + n), F.lit(0)) - prefix_len
+        first_tok = F.element_at(window, 1)
+        last_tok = F.try_element_at(window, n)
+        lead1 = token_lead_expr(first_tok)
+        lead_n = token_lead_expr(last_tok)
+        start = (prefix_len + lead1).cast("int")
+        end = (
+            prefix_len + win_prefix + lead_n + F.length(token_core_expr(last_tok))
+        ).cast("int")
+        joined_window = F.concat_ws(" ", window)
+        # when(match, ...) evaluates the struct branch only on real matches
+        return F.when(
+            match,
+            F.struct(
+                start.alias("start"),
+                end.alias("end"),
+                c["term"].alias("term"),
+                c["label"].alias("label"),
+                c["ent_id"].alias("ent_id"),
+                joined_window.substr(lead1.cast("int") + 1, end - start).alias(
+                    "surface"
+                ),
+            ),
         )
-        # char length of the window = joined length of its tokens
-        win_prefix = F.aggregate(
-            F.slice(F.col("_w"), 1, n - 1), F.lit(0), lambda acc, t: acc + F.length(t) + 1
+
+    def valid_arr(toks, starts):
+        return F.array_distinct(
+            F.filter(
+                F.transform(F.col("_cands"), lambda c: build_span(c, toks, starts)),
+                lambda s: s.isNotNull(),
+            )
         )
-    first_tok = F.element_at("_w", 1)
-    last_tok = F.try_element_at(F.col("_w"), n)
-    lead1 = token_lead_expr(first_tok)
-    lead_n = token_lead_expr(last_tok)
-    start = (prefix_len + lead1).cast("int")
-    end = (prefix_len + win_prefix + lead_n + F.length(token_core_expr(last_tok))).cast("int")
-    # surface from the joined window tokens (single spaces by clean_text)
-    joined_window = F.concat_ws(" ", F.col("_w"))
-    spans = (
-        j.withColumn("_start", start)
-        .withColumn("_end", end)
-        .withColumn("_joined", joined_window)
-        .withColumn("_lead1", lead1.cast("int"))
+
+    def dedup_ent(a):
+        # homonym-id dedup: per (start, end, label) keep the min ent_id —
+        # downstream label resolution needs no span-level aggregate (winner
+        # filter is per-label, so pre-picking the min ent within each label
+        # commutes with it)
+        return F.filter(
+            a,
+            lambda x: ~F.exists(
+                a,
+                lambda y: (y["start"] == x["start"])
+                & (y["end"] == x["end"])
+                & (y["label"] == x["label"])
+                & (y["ent_id"] < x["ent_id"]),
+            ),
+        )
+
+    def keep_longest(dd):
+        # longest-match preference (PhraseMatcher semantics): drop spans
+        # strictly contained in a longer span of the same sentence
+        return F.filter(
+            dd,
+            lambda x: ~F.exists(
+                dd,
+                lambda y: (y["start"] <= x["start"])
+                & (x["end"] <= y["end"])
+                & ((y["end"] - y["start"]) > (x["end"] - x["start"])),
+            ),
+        )
+
+    bind = lambda val, body: F.element_at(  # noqa: E731 — let-binding helper
+        F.transform(F.array(val), body), 1
+    )
+    final = bind(
+        F.split(F.col("sent_text"), " "),
+        lambda toks: bind(
+            offsets_expr(toks),
+            lambda starts: bind(
+                valid_arr(toks, starts),
+                lambda a: bind(dedup_ent(a), keep_longest),
+            ),
+        ),
+    )
+    return (
+        withs.select(*key3, F.explode(final).alias("s"))
         .select(
             *key3,
-            F.col("_start").alias("start"),
-            F.col("_end").alias("end"),
-            "term",
-            "label",
-            "ent_id",
-            F.expr("substring(_joined, _lead1 + 1, _end - _start)").alias("surface"),
+            F.col("s")["start"].alias("start"),
+            F.col("s")["end"].alias("end"),
+            F.col("s")["term"].alias("term"),
+            F.col("s")["label"].alias("label"),
+            F.col("s")["ent_id"].alias("ent_id"),
+            F.col("s")["surface"].alias("surface"),
         )
     )
-    # Exact-duplicate dedup happens inside drop_contained (array_distinct on
-    # the per-sentence array) — one shuffle covers both dedup and containment.
-    return drop_contained(spans)
 
 
 def drop_contained(spans: DataFrame) -> DataFrame:
