@@ -69,15 +69,7 @@ class SnapshotStore:
 
         spark = df.sparkSession
         written = spark.read.parquet(data_dir)
-        lineage = sorted(
-            (
-                {"file": os.path.basename(r["f"]), "rows": r["rows"]}
-                for r in written.groupBy(F.input_file_name().alias("f"))
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .collect()
-            ),
-            key=lambda p: p["file"],
-        )
+        lineage = self._file_lineage(spark, data_dir)
         man = {
             "stage": stage,
             "run_id": self.run_id,
@@ -93,6 +85,44 @@ class SnapshotStore:
             json.dump(man, f)
         os.replace(tmp, os.path.join(d, MANIFEST))
         return man
+
+    @staticmethod
+    def _file_lineage(spark: SparkSession, data_dir: str) -> list[dict]:
+        """Per-file row counts for the manifest.
+
+        Fast path: local directories read ONLY the parquet footers
+        (pyarrow metadata — KBs per file), because the row count per file
+        is already durable parquet metadata; the previous implementation
+        re-scanned the full written data with a groupBy(input_file_name())
+        aggregation, a second read of the whole snapshot per committed
+        stage. Non-local paths (e.g. object stores under a real cluster)
+        keep the Spark aggregation fallback. Identical manifest content
+        either way — same files, same counts."""
+        if os.path.isdir(data_dir):
+            import pyarrow.parquet as pq
+
+            return sorted(
+                (
+                    {
+                        "file": fname,
+                        "rows": pq.ParquetFile(os.path.join(data_dir, fname))
+                        .metadata.num_rows,
+                    }
+                    for fname in os.listdir(data_dir)
+                    if fname.endswith(".parquet")
+                ),
+                key=lambda p: p["file"],
+            )
+        return sorted(
+            (
+                {"file": os.path.basename(r["f"]), "rows": r["rows"]}
+                for r in spark.read.parquet(data_dir)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            ),
+            key=lambda p: p["file"],
+        )
 
     def get_or_compute(
         self, spark: SparkSession, stage: str, compute, force: bool = False

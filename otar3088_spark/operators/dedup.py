@@ -312,6 +312,53 @@ def minhash_near_dups(
     )
 
 
+def _md5_simhash_udf():
+    """Arrow-vectorized md5-family SimHash: NORMALIZED text in, 60-bit
+    simhash long out (NULL for NULL text — the explode formulation produced
+    no row there; callers filter).
+
+    Same rationale as _md5_sig_udf: the JVM ``Md5`` + ``conv`` pair costs
+    ~2 us per token while hashlib + a per-task token memo is near-free, and
+    only |docs| short strings cross Arrow instead of the exploded token
+    table. Per-token ±1 bit vectors are memoized as numpy arrays; a doc's
+    per-bit sign sums are one weighted vector sum over its DISTINCT tokens
+    (sum over occurrences == count-weighted sum over distincts). The bit
+    values replicate the expression form exactly: hash = first 15 md5 hex
+    digits as an integer (what DuckDB reproduces via
+    ``('0x' || substr(md5(tok),1,15))::BIGINT``), bit b of the simhash set
+    iff the sign sum at b is strictly positive."""
+    from collections import Counter
+
+    import numpy as np
+
+    memo: dict[str, "np.ndarray"] = {}
+    bit_idx = np.arange(60, dtype=np.int64)
+    weights = np.left_shift(np.int64(1), bit_idx)
+
+    @F.pandas_udf("long")
+    def sim(nt: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for text in nt:
+            if text is None:
+                out.append(None)
+                continue
+            sums = np.zeros(60, dtype=np.int64)
+            for tok, c in Counter(text.split(" ")).items():
+                v = memo.get(tok)
+                if v is None:
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                    v = 2 * ((h >> bit_idx) & 1) - 1
+                    if len(memo) < 1_000_000:
+                        memo[tok] = v
+                sums += c * v
+            out.append(int(weights[sums > 0].sum()))
+        return pd.Series(out, dtype="object")
+
+    return sim
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -319,18 +366,25 @@ def simhash(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash per doc: per-bit sign sum of token hashes, folded back into
-    one long. Explode tokens → per-bit conditional-sum aggregates → bit fold.
-    Returns (id, simhash long).
+    one long. Returns (id, simhash long).
 
-    ``hash_fn``: ``xxhash64`` (64-bit, production) or ``md5`` (60-bit — the
-    first 15 md5 hex digits parsed as an integer, which DuckDB reproduces via
-    ``('0x' || substr(md5(tok),1,15))::BIGINT`` — oracle-checkable)."""
+    ``hash_fn``: ``xxhash64`` (64-bit, production — explode tokens → 64
+    codegen'd conditional-sum aggregates → bit fold, measured within ~2x of
+    the bare token scan) or ``md5`` (60-bit — the first 15 md5 hex digits
+    parsed as an integer, which DuckDB reproduces via
+    ``('0x' || substr(md5(tok),1,15))::BIGINT`` — oracle-checkable; runs
+    Arrow-vectorized because the JVM md5+conv pair alone costs more than
+    the rest of the pipeline, see _md5_simhash_udf)."""
     if hash_fn == "md5":
-        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-        n_bits = 60
-    else:
-        h = F.xxhash64(F.col("tok"))
-        n_bits = 64
+        base = docs.select(
+            F.col(id_col).alias("id"),
+            normalized_text_expr(F.col(text_col)).alias("_nt"),
+        )
+        return base.select(
+            "id", _md5_simhash_udf()(F.col("_nt")).alias("simhash")
+        ).filter(F.col("simhash").isNotNull())
+    h = F.xxhash64(F.col("tok"))
+    n_bits = 64
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text_expr(F.col(text_col)), " ")).alias("tok"),

@@ -362,11 +362,17 @@ def ann_lsh_topk(
             ).alias("sig"),
         )
     cand = c.join(F.broadcast(p), ["tbl", "sig"]).filter(F.col("vec_id") != F.col("q_id"))
+    # dedup BEFORE scoring: multi-table + Hamming-1 multiprobe surfaces the
+    # same (q, vec) pair through many buckets (~2-3x duplication), and every
+    # duplicate row would pay the 64-element dot fold; all duplicate rows
+    # carry identical embedding/norm columns, so first-wins dedup followed
+    # by one scoring pass is value-identical to score-then-dedup.
+    cand = cand.dropDuplicates(["q_id", "vec_id"])
     scored = cand.select(
         "q_id",
         "vec_id",
         (_dot(F.col("c_emb"), F.col("q_emb")) / (F.col("c_norm") * F.col("q_norm"))).alias("cos"),
-    ).dropDuplicates(["q_id", "vec_id"])
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))

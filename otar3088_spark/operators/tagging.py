@@ -501,6 +501,80 @@ def _tag_with_dim(
     )
     cand = anchors.join(d, anchors["anchor_key"] == d["first_tok"], "inner")
 
+    # TWO stage-2 formulations with opposite scaling (round-5 stress +
+    # round-7 re-measurement, BENCH/TAGGING_STRESS.md):
+    # * default (short sentences, sparse candidates — the KG path): join
+    #   candidates back per candidate row + O(pos) prefix folds, one
+    #   containment-dedup shuffle. Cheapest when candidates/sentence ~1 and
+    #   sentences are short: the per-sentence array machinery of the other
+    #   path costs ~7 us/sentence of interpreted-HOF overhead, which at
+    #   600k 10-token sentences more than doubles the tagging stage
+    #   (measured round 7: 6.3s vs ~3s at 200k turns).
+    # * precompute_offsets=True (whole documents as single sentences, dense
+    #   candidates — the battery/document path): group candidates per
+    #   sentence FIRST, attach the sentence once, and run validation +
+    #   span building + containment dedup array-side (see below). At sf1.0
+    #   documents (54-token docs, ~14 candidates each) this removed the
+    #   per-candidate copies of the sentence arrays and one shuffle:
+    #   9.3s -> ~4s.
+    if not precompute_offsets:
+        sent_proj = sentences.select(*key3, "sent_text")
+        withs = cand.join(sent_proj, key3, "inner")
+
+        n, pos0 = F.col("n"), F.col("pos0")
+        toks2 = F.split(F.col("sent_text"), " ")
+        window = F.slice(toks2, pos0 + 1, n)
+        in_bounds = n <= (F.size(toks2) - pos0)
+        # anchored-prefix elision (see _atail above): validate only the
+        # allowed forms AFTER the anchor-proven prefix — n==1 candidates
+        # validate on in_bounds alone (forall over an empty tail is TRUE)
+        wtail = F.slice(
+            toks2, pos0 + F.col("_v0") + 1, F.greatest(n - F.col("_v0"), F.lit(0))
+        )
+        wkeys = F.transform(wtail, lambda t: F.lower(token_core_expr(t)))
+        all_ok = F.forall(
+            F.zip_with(wkeys, F.col("_atail"), lambda w, al: F.array_contains(al, w)),
+            lambda x: x,
+        )
+        match = in_bounds & F.coalesce(all_ok, F.lit(False))
+        j = withs.withColumn("_w", window).filter(match)
+
+        # offsets: start of token pos0 = sum(len+1) over preceding tokens —
+        # an O(pos) fold over a slice, no offsets array materialized.
+        prefix_len = F.aggregate(
+            F.slice(toks2, 1, pos0), F.lit(0), lambda acc, t: acc + F.length(t) + 1
+        )
+        # char length of the window = joined length of its tokens
+        win_prefix = F.aggregate(
+            F.slice(F.col("_w"), 1, n - 1), F.lit(0), lambda acc, t: acc + F.length(t) + 1
+        )
+        first_tok = F.element_at("_w", 1)
+        last_tok = F.try_element_at(F.col("_w"), n)
+        lead1 = token_lead_expr(first_tok)
+        lead_n = token_lead_expr(last_tok)
+        start = (prefix_len + lead1).cast("int")
+        end = (prefix_len + win_prefix + lead_n + F.length(token_core_expr(last_tok))).cast("int")
+        # surface from the joined window tokens (single spaces by clean_text)
+        joined_window = F.concat_ws(" ", F.col("_w"))
+        spans = (
+            j.withColumn("_start", start)
+            .withColumn("_end", end)
+            .withColumn("_joined", joined_window)
+            .withColumn("_lead1", lead1.cast("int"))
+            .select(
+                *key3,
+                F.col("_start").alias("start"),
+                F.col("_end").alias("end"),
+                "term",
+                "label",
+                "ent_id",
+                F.expr("substring(_joined, _lead1 + 1, _end - _start)").alias("surface"),
+            )
+        )
+        # Exact-duplicate dedup happens inside drop_contained (array_distinct
+        # on the per-sentence array) — one shuffle covers dedup + containment.
+        return drop_contained(spans)
+
     # --- stage 2: group candidates per sentence, attach the sentence ONCE ---
     # The r1-r6 shape joined every CANDIDATE row back to the sentence table,
     # which copied the per-sentence token/offset arrays once per candidate
@@ -536,9 +610,8 @@ def _tag_with_dim(
     #   arr    = validated span structs        (per candidate, when(match))
     #   dd     = per-(start,end,label) min-ent_id dedup over arr
     #   kept   = longest-match containment filter over dd
-    # `precompute_offsets` is accepted for API stability: the unified shape
-    # computes offsets per MATCHED sentence only (sentences without anchors
-    # never reach this join), which dominates both historical variants.
+    # Offsets are computed per MATCHED sentence only (sentences without
+    # anchors never reach this join).
     def build_span(c, toks, starts):
         n, p0 = c["n"], c["pos0"]
         window = F.slice(toks, p0 + 1, n)

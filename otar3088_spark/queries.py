@@ -131,19 +131,32 @@ def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti coverage audit (annotation_filtering.py:67-75).
-    [J7, U2, U3]"""
+    [J7, U2, U3]
+
+    Stated as ONE pass: distinct lineitem part keys (partial-aggregated to
+    ~|parts| rows before any exchange), one left join flagging coverage, one
+    aggregation bucketing each part as with/without sales. The literal
+    semi + anti pair built TWO broadcast hash tables over the full
+    un-deduplicated l_partkey column (|lineitem| rows each) and scanned
+    lineitem twice; the outputs are identical row sets (a part matches the
+    semi join iff its key is in the distinct key set — null keys match
+    neither side in both formulations)."""
     p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
-    with_sales = p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
-    without_sales = p.join(li, p["p_partkey"] == li["l_partkey"], "left_anti")
+    li_keys = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    j = p.join(
+        li_keys.withColumn("_m", F.lit(1)),
+        p["p_partkey"] == li_keys["l_partkey"],
+        "left",
+    )
     return (
-        with_sales.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_parts"))
-        .withColumn("bucket", F.lit("with_sales"))
-        .unionByName(
-            without_sales.groupBy("p_type")
-            .agg(F.count(F.lit(1)).alias("n_parts"))
-            .withColumn("bucket", F.lit("without_sales"))
+        j.groupBy(
+            "p_type",
+            F.when(F.col("_m").isNotNull(), F.lit("with_sales"))
+            .otherwise(F.lit("without_sales"))
+            .alias("bucket"),
         )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select("p_type", "n_parts", "bucket")
     )
 
 
@@ -448,15 +461,6 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline). Dot product via zip_with+aggregate — JVM-side, no UDF; probe
     side broadcast. [similarity]"""
     e = _t(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    pairs = e.alias("x").join(F.broadcast(probes), F.col("x.vec_id") != F.col("q_id"))
-    dot = F.aggregate(
-        F.zip_with(F.col("x.embedding"), F.col("q_emb"), lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     norm = lambda c: F.sqrt(
         F.aggregate(
             F.transform(c, lambda v: v.cast("double") * v.cast("double")),
@@ -464,10 +468,28 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
+    # norms HOISTED to one column per side before the pair join — computed
+    # |corpus| + |probes| times instead of per pair (the per-pair version
+    # paid two extra 64-element folds on every one of the |corpus| x
+    # |probes| rows; identical arithmetic per row, so identical cos values)
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = e.select(
+        F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("c_norm")
+    )
+    pairs = corpus.alias("x").join(F.broadcast(probes), F.col("x.vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("x.embedding"), F.col("q_emb"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = pairs.select(
         "q_id",
         F.col("x.vec_id").alias("vec_id"),
-        (dot / (norm(F.col("x.embedding")) * norm(F.col("q_emb")))).alias("cos"),
+        (dot / (F.col("x.c_norm") * F.col("q_norm"))).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
