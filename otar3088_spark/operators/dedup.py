@@ -117,7 +117,12 @@ def _md5_sig_udf(num_hashes: int, shingle_k: int):
             out.append([min(col) for col in zip(*rows)])
         return pd.Series(out)
 
-    return sigs
+    # the caller filters on the UDF's output column; a deterministic UDF
+    # gets DUPLICATED by filter pushdown (one eval below the filter, one in
+    # the projection — two ArrowEvalPython nodes, measured in the round-7
+    # plan). asNondeterministic pins a single evaluation; the function is
+    # in fact deterministic, only the optimizer's reorder freedom changes.
+    return sigs.asNondeterministic()
 
 
 def minhash_signatures(
@@ -356,7 +361,9 @@ def _md5_simhash_udf():
             out.append(int(weights[sums > 0].sum()))
         return pd.Series(out, dtype="object")
 
-    return sim
+    # same single-evaluation pin as _md5_sig_udf: the caller filters on the
+    # output column and pushdown would duplicate the ArrowEvalPython node
+    return sim.asNondeterministic()
 
 
 def simhash(
