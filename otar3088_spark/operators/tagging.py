@@ -246,6 +246,12 @@ def tag_mentions(
     (COVID_ner_clean.ipynb cell 7). Output identical in all modes (window
     validation unchanged; pinned by ``test_bigram_anchor_path_is_identical``
     and ``test_auto_bigram_anchor``).
+
+    CALLER CONTRACT: this function runs bounded **eager Spark jobs at plan
+    time** (dim-side skew stats under AUTO, plus the anchor IN-set probe) —
+    plan construction can block on, and fail from, a live Spark job. Both
+    jobs scan only the broadcast-scale dictionary and are memoized per
+    (dictionary, overrides, cap, anchor mode), so repeat calls are free.
     """
     ov = dict(lemma_overrides or {})
 

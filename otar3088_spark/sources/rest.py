@@ -67,6 +67,21 @@ def _fetcher_token(fetcher) -> int:
         return next(_FETCHER_SEQ)
 
 
+def _session_key(fetcher, cache_key: str | None) -> str:
+    """Resolve the per-worker session-cache slot name for a fetcher.
+
+    `is not None` (not truthiness): an explicit-but-empty cache_key must
+    name its own slot, not silently fall back to the fetcher-token key.
+    """
+    if cache_key is not None:
+        return cache_key
+    return "fetcher:" + (
+        "fake"
+        if fetcher is None
+        else f"{fetcher.__module__}.{getattr(fetcher, '__qualname__', repr(fetcher))}@{_fetcher_token(fetcher)}"
+    )
+
+
 def fake_fetcher(query: str, page: int) -> list[tuple[str, str, str]]:
     """Deterministic stand-in for the EPMC REST API (tests/CI)."""
     import hashlib
@@ -115,14 +130,7 @@ def fetch_search_results(
     # address-reuse-proof, unlike raw id()). The token is resolved HERE
     # (driver), closed over, and therefore stable for every task of this
     # job; same-object reuse across jobs keeps hitting the same slot.
-    fkey = cache_key or (
-        "fetcher:"
-        + (
-            "fake"
-            if fetcher is None
-            else f"{fetcher.__module__}.{getattr(fetcher, '__qualname__', repr(fetcher))}@{_fetcher_token(fetcher)}"
-        )
-    )
+    fkey = _session_key(fetcher, cache_key)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         f = _SESSION.get(fkey) or fetcher or fake_fetcher

@@ -103,6 +103,19 @@ def test_rest_source_pattern(spark):
     assert cleaned.count() == cleaned.select("doc_id").distinct().count()
 
 
+def test_rest_session_key_honors_explicit_falsy_cache_key():
+    """An explicit-but-empty cache_key names its own slot — it must NOT
+    silently fall back to the fetcher-token key (round-6 advice)."""
+    from otar3088_spark.sources.rest import _session_key, fake_fetcher
+
+    assert _session_key(fake_fetcher, "") == ""
+    assert _session_key(fake_fetcher, "slot-a") == "slot-a"
+    # unset -> derived per-object key, stable for the same object
+    k1 = _session_key(fake_fetcher, None)
+    assert k1.startswith("fetcher:") and k1 == _session_key(fake_fetcher, None)
+    assert _session_key(None, None) == "fetcher:fake"
+
+
 def test_csv_and_jsonl_scans(spark, tmp_path):
     """S1 CSV scan + S7 JSON-lines scan with nested schema (PHEE shape)."""
     csv = tmp_path / "dict.tsv"
