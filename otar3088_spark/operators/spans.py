@@ -63,8 +63,6 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     Token gets ``B-X`` iff it starts the span, ``I-X`` iff strictly inside,
     else ``O`` (iob_converter.py:47-68).
     """
-    from otar3088_spark.functions.text import token_core_expr, token_lead_expr
-
     key3 = ["conv_id", "turn_idx", "sent_idx"]
     sp_g = spans.groupBy(*key3).agg(
         F.collect_list(F.struct("start", "end", "label")).alias("sp")
@@ -76,7 +74,46 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
     j = tok.join(sp_g, key3, "left").withColumn(
         "sp", F.coalesce(F.col("sp"), F.array().cast("array<struct<start:int,end:int,label:string>>"))
     )
+    return _iob_from_joined(j)
 
+
+def grouped_spans_to_iob(tagged: DataFrame) -> DataFrame:
+    """``spans_to_iob`` over the GROUPED tagging output
+    (``tag_mentions_grouped``: one row per matched sentence carrying
+    ``sent_text`` + the per-sentence span-struct array) — identical tag
+    semantics, minus the span explode / collect_list re-aggregation /
+    sentence re-join that ``spans_to_iob(sentences, tag_mentions(...))``
+    pays to rebuild exactly this row shape (round 7: that plumbing was
+    3.0 s of the 8.4 s sf1.0 chain; 3 Exchanges -> 0 added).
+
+    Only matched sentences appear, so downstream must not rely on all-O
+    rows — both engine consumers (iob_to_spans, filter_all_o) drop them
+    anyway, which is what makes the fusion output-equivalent (pinned by
+    ``test_grouped_iob_fusion_matches_unfused``).
+    """
+    key3 = ["conv_id", "turn_idx", "sent_idx"]
+    toks = F.split(F.col("sent_text"), " ")
+    j = tagged.select(
+        *key3,
+        toks.alias("toks"),
+        offsets_expr(toks).alias("starts"),
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["start"].alias("start"),
+                s["end"].alias("end"),
+                s["label"].alias("label"),
+            ),
+        ).alias("sp"),
+    )
+    return _iob_from_joined(j)
+
+
+def _iob_from_joined(j: DataFrame) -> DataFrame:
+    """Shared tag computation over rows ``(key3, toks, starts, sp)``."""
+    from otar3088_spark.functions.text import token_core_expr, token_lead_expr
+
+    key3 = ["conv_id", "turn_idx", "sent_idx"]
     # per-token tag computed array-side: coverage is checked against the
     # CORE-token extent (start+lead .. start+lead+len(core)) because
     # tag_mentions emits spans at punctuation-stripped extents — a raw-extent
@@ -185,12 +222,27 @@ def spans_to_iob(sentences: DataFrame, spans: DataFrame) -> DataFrame:
 
         return bind(cs, lambda cs_b: bind(ce, lambda ce_b: with_extents(cs_b, ce_b)))
 
-    return j.select(
-        *key3,
+    # OPERATOR-LEVEL evaluate-once barrier (round 7): downstream filters on
+    # the computed columns — iob_to_spans' size(tags) > 0, filter_all_o's
+    # exists(tags, ...) — get predicate-pushed below a plain Project, which
+    # INLINES this whole expression tree into the filter (and, in the fused
+    # grouped path where toks/starts/sp are themselves projections over the
+    # tagging join, into the join condition: measured 12 s -> 76 s at
+    # sf1.0). A Generate over a one-element array is the operator-level
+    # analogue of the lambda-variable let-binding: predicates referencing
+    # generated attributes cannot push through Generate
+    # (PushPredicateThroughGenerate only moves predicates over non-generated
+    # columns, e.g. the key3 — which still push), so tokens/tags are
+    # evaluated exactly ONCE regardless of what the consumer filters on.
+    row = F.struct(
         F.col("toks").alias("tokens"),
         bind(cl_arr, lambda cl: bind(ld_arr, lambda ld: tags_expr(cl, ld))).alias(
             "tags"
         ),
+    )
+    return (
+        j.select(*key3, F.explode(F.array(row)).alias("_iob"))
+        .select(*key3, F.col("_iob.tokens").alias("tokens"), F.col("_iob.tags").alias("tags"))
     )
 
 

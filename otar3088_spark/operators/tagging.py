@@ -202,6 +202,7 @@ def tag_mentions(
     precompute_offsets: bool = False,
     bigram_anchor: bool | None = None,
     bigram_anchor_threshold: int = 64,
+    _grouped_output: bool = False,
 ) -> DataFrame:
     """Detect dictionary mentions in sentences; returns one row per span.
 
@@ -270,7 +271,9 @@ def tag_mentions(
     if hit is not None and hit[0] is dictionary:
         _ANCHOR_MEMO.move_to_end(mkey)
         d0, firsts, pair_mode = hit[1], hit[2], hit[3]
-        return _tag_with_dim(sentences, d0, firsts, precompute_offsets, pair_mode)
+        return _tag_with_dim(
+            sentences, d0, firsts, precompute_offsets, pair_mode, _grouped_output
+        )
 
     # --- dictionary-side normalization + preimage enumeration ----------------
     # Every dictionary token is normalized with the FULL lemma function; rows
@@ -377,7 +380,48 @@ def tag_mentions(
     _ANCHOR_MEMO[mkey] = (dictionary, d0, firsts, pair_mode)
     while len(_ANCHOR_MEMO) > _MEMO_MAX:
         _ANCHOR_MEMO.popitem(last=False)
-    return _tag_with_dim(sentences, d0, firsts, precompute_offsets, pair_mode)
+    return _tag_with_dim(
+        sentences, d0, firsts, precompute_offsets, pair_mode, _grouped_output
+    )
+
+
+def tag_mentions_grouped(
+    sentences: DataFrame,
+    dictionary: DataFrame,
+    max_prefilter_terms: int = 50_000,
+    lemma_overrides: dict[str, str] | None = None,
+    bigram_anchor: bool | None = None,
+    bigram_anchor_threshold: int = 64,
+) -> DataFrame:
+    """``tag_mentions`` without the final explode: one row per MATCHED
+    sentence, ``(conv_id, turn_idx, sent_idx, sent_text, spans)`` where
+    ``spans`` is the per-sentence array of validated/deduped span structs
+    (exactly the array ``tag_mentions`` explodes into rows — same candidate
+    generation, validation, homonym dedup and longest-match containment).
+
+    Exists for consumers that immediately RE-GROUP the span rows per
+    sentence (spans_to_iob and the training-data path): feeding them the
+    grouped form removes an explode, a collect_list re-aggregation exchange
+    and the sentence re-join from their plans (measured 3.0 s of the 8.4 s
+    sf1.0 spans_to_iob chain, round 7). Sentences with no validated span do
+    NOT appear (the exploded form has no rows for them either); callers that
+    need all-O sentences must keep ``tag_mentions`` + an outer join.
+
+    Always runs the per-sentence array formulation (the grouped shape IS
+    that path's intermediate), so it shares ``tag_mentions``'s
+    ``precompute_offsets=True`` scaling profile and memoized anchor dim.
+    Same eager plan-time jobs contract as ``tag_mentions``.
+    """
+    return tag_mentions(
+        sentences,
+        dictionary,
+        max_prefilter_terms=max_prefilter_terms,
+        lemma_overrides=lemma_overrides,
+        precompute_offsets=True,
+        bigram_anchor=bigram_anchor,
+        bigram_anchor_threshold=bigram_anchor_threshold,
+        _grouped_output=True,
+    )
 
 
 def _tag_with_dim(
@@ -386,6 +430,7 @@ def _tag_with_dim(
     firsts: list[str] | None,
     precompute_offsets: bool = False,
     bigram_anchor: bool = False,
+    grouped_output: bool = False,
 ) -> DataFrame:
     """Corpus side of tag_mentions: anchor detection, window validation and
     containment dedup against an already-prepared (possibly memoized)
@@ -523,6 +568,11 @@ def _tag_with_dim(
     #   documents (54-token docs, ~14 candidates each) this removed the
     #   per-candidate copies of the sentence arrays and one shuffle:
     #   9.3s -> ~4s.
+    if grouped_output and not precompute_offsets:
+        raise ValueError(
+            "grouped_output requires the per-sentence array path "
+            "(precompute_offsets=True); use tag_mentions_grouped()"
+        )
     if not precompute_offsets:
         sent_proj = sentences.select(*key3, "sent_text")
         withs = cand.join(sent_proj, key3, "inner")
@@ -718,6 +768,11 @@ def _tag_with_dim(
             ),
         ),
     )
+    if grouped_output:
+        # one row per matched sentence, span structs still in their array —
+        # for consumers that would otherwise explode and immediately
+        # re-collect_list per sentence (tag_mentions_grouped docstring)
+        return withs.select(*key3, "sent_text", final.alias("spans"))
     return (
         withs.select(*key3, F.explode(final).alias("s"))
         .select(

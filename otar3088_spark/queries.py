@@ -655,10 +655,18 @@ def q_seq_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span->IOB->span round-trip over tagged documents (J9/F12 + W5 merge):
-    returns merged spans re-derived from IOB tags."""
-    from otar3088_spark.operators.spans import iob_to_spans, spans_to_iob
+def _tag_documents_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-as-sentences through the GROUPED tagging path (one row per
+    matched sentence, spans still in their per-sentence array): the shared
+    front end of the two IOB consumers. Output-equivalent to feeding
+    ``spans_to_iob(d, q_term_tagging(...))``: the span-array content is
+    identical (same kernel, explode elided), and sentences absent here are
+    exactly the all-O rows both consumers drop (iob_to_spans emits no rows
+    without a B- tag; filter_all_o filters them) — so eliding the explode +
+    re-collect_list + sentence re-join changes no query result (oracle-
+    gated; fusion-equivalence also pinned by
+    ``test_grouped_iob_fusion_matches_unfused``)."""
+    from otar3088_spark.operators.tagging import prepare_dictionary, tag_mentions_grouped
 
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("conv_id"),
@@ -666,13 +674,15 @@ def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("sent_idx"),
         F.col("text").alias("sent_text"),
     )
-    spans = q_term_tagging(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.lit(0).cast("int").alias("sent_idx"),
-        "start", "end", "label",
-    )
-    iob = spans_to_iob(d, spans)
+    return tag_mentions_grouped(d, prepare_dictionary(_doc_dict_df(spark)))
+
+
+def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span->IOB->span round-trip over tagged documents (J9/F12 + W5 merge):
+    returns merged spans re-derived from IOB tags."""
+    from otar3088_spark.operators.spans import grouped_spans_to_iob, iob_to_spans
+
+    iob = grouped_spans_to_iob(_tag_documents_grouped(spark, sf_dir))
     return iob_to_spans(iob).select(
         F.col("conv_id").cast("bigint").alias("doc_id"),
         "start_pos", "end_pos", "text", "label",
@@ -688,22 +698,10 @@ def q_ner_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence is pytest-pinned (test_training_data.py). Reference lineage:
     dataset_loader.py:352-446."""
     from otar3088_spark.operators.labelset import encode_labels, split_fraction_expr
-    from otar3088_spark.operators.spans import filter_all_o, spans_to_iob
+    from otar3088_spark.operators.spans import filter_all_o, grouped_spans_to_iob
     from otar3088_spark.plans.training_data import label_map
 
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.lit(0).cast("int").alias("sent_idx"),
-        F.col("text").alias("sent_text"),
-    )
-    spans = q_term_tagging(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.lit(0).cast("int").alias("sent_idx"),
-        "start", "end", "label",
-    )
-    iob = filter_all_o(spans_to_iob(d, spans))
+    iob = filter_all_o(grouped_spans_to_iob(_tag_documents_grouped(spark, sf_dir)))
     label2id = label_map(sorted({l for (_, _, l) in DOC_DICT}))
     enc = encode_labels(iob, label2id)
     frac = split_fraction_expr(

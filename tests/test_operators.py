@@ -858,3 +858,64 @@ def test_validate_alignment_null_surface_is_violation(spark):
     )
     bad = validate_alignment(spans, sents).collect()
     assert len(bad) == 1 and bad[0]["surface"] is None
+
+
+def test_grouped_iob_fusion_matches_unfused(spark):
+    """The fused grouped-tagging -> IOB path (tag_mentions_grouped +
+    grouped_spans_to_iob) must be output-equivalent to the exploded path
+    (tag_mentions + spans_to_iob) for BOTH engine consumers: identical
+    (tokens, tags) on every matched sentence, unfused-only rows exactly the
+    all-O ones, and identical results through iob_to_spans / filter_all_o."""
+    from pyspark.sql import functions as F
+
+    from otar3088_spark.operators.spans import (
+        filter_all_o,
+        grouped_spans_to_iob,
+        iob_to_spans,
+        spans_to_iob,
+    )
+    from otar3088_spark.operators.tagging import (
+        prepare_dictionary,
+        tag_mentions,
+        tag_mentions_grouped,
+    )
+
+    sents = spark.createDataFrame(
+        [
+            ("a", 0, 0, "HeLa cells grow in hela cell lines today"),
+            ("a", 0, 1, "no dictionary words at all"),      # unmatched
+            ("a", 1, 0, "(HeLa) spheroids and HeLa. edge"),  # punctuation
+            ("b", 0, 0, "cell lines versus cell line data"),
+            ("b", 0, 1, ""),                                 # empty text
+            ("b", 1, 0, "heLa"),                             # case + short
+        ],
+        ["conv_id", "turn_idx", "sent_idx", "sent_text"],
+    )
+    dictionary = prepare_dictionary(
+        spark.createDataFrame(
+            [("E1", "HeLa", "CellLine"), ("E2", "cell line", "Obj"),
+             ("E3", "hela cell", "Expr")],
+            ["ent_id", "term", "label"],
+        )
+    )
+    spans = tag_mentions(sents, dictionary, precompute_offsets=True).select(
+        "conv_id", "turn_idx", "sent_idx", "start", "end", "label"
+    )
+    unfused = spans_to_iob(sents, spans)
+    fused = grouped_spans_to_iob(tag_mentions_grouped(sents, dictionary))
+
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["sent_idx"])  # noqa: E731
+    u = {key(r): (r["tokens"], r["tags"]) for r in unfused.collect()}
+    f = {key(r): (r["tokens"], r["tags"]) for r in fused.collect()}
+    assert set(f) <= set(u)
+    for k, v in f.items():
+        assert u[k] == v, k
+    for k in set(u) - set(f):  # unfused-only rows are exactly the all-O ones
+        assert all(t == "O" for t in u[k][1]), (k, u[k])
+
+    back_u = sorted(map(tuple, iob_to_spans(unfused).collect()))
+    back_f = sorted(map(tuple, iob_to_spans(fused).collect()))
+    assert back_u == back_f and len(back_u) > 0
+    kept_u = sorted((key(r), r["tokens"], r["tags"]) for r in filter_all_o(unfused).collect())
+    kept_f = sorted((key(r), r["tokens"], r["tags"]) for r in filter_all_o(fused).collect())
+    assert kept_u == kept_f
