@@ -40,20 +40,42 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles_expr(text_col: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a text column (JVM array ops)."""
+    """Distinct word k-gram shingles of a text column (JVM array ops).
+
+    Formulation (round 7): one let-bound token array + ``transform`` over
+    the shingle-start index range, each shingle a single k-ary ``concat``
+    of ``element_at`` lookups. The previous shape (k full-length ``slice``
+    copies folded with ``zip_with(concat_ws)``) evaluated interpreted
+    ``concat_ws`` machinery per element and allocated k array copies per
+    doc — measured 3.38 s vs 1.87 s for the array stage alone at sf1.0
+    (50k docs x ~53 shingles). Output is element-for-element identical
+    (same positional order into array_distinct, same NULL-for-NULL-text
+    and empty-for-short-text contract); the let-binding keeps ``split``
+    evaluated once (an un-bound reference inside a HOF lambda body is
+    re-evaluated per element — the round-6 lesson)."""
     toks = F.split(normalized_text_expr(text_col), " ")
     if k == 1:
         return F.array_distinct(toks)
-    cols = [F.slice(toks, i + 1, F.greatest(F.size(toks) - k + 1, F.lit(0))) for i in range(k)]
-    sh = cols[0]
-    for c in cols[1:]:
-        sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
-    # every slice above is already length n-k+1, so zip_with never pads and
-    # each element is a true k-shingle by construction; the historical
-    # per-shingle `size(split(s, " ")) == k` filter was a semantic no-op
-    # (verified over all sf corpora + edge texts, round 7) that cost one
-    # interpreted split per shingle instance in every consumer.
-    return F.array_distinct(sh)
+
+    def sh_of(tk):
+        def shingle_at(i):
+            parts = [F.element_at(tk, i)]
+            for j in range(1, k):
+                parts += [F.lit(" "), F.element_at(tk, i + j)]
+            return F.concat(*parts)
+
+        return (
+            F.when(tk.isNull(), F.lit(None).cast("array<string>"))
+            .when(
+                F.size(tk) >= k,
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(1), F.size(tk) - k + 1), shingle_at)
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.element_at(F.transform(F.array(toks), sh_of), 1)
 
 
 def _md5_sig_udf(num_hashes: int, shingle_k: int):
