@@ -113,6 +113,19 @@ def build_kg(
         lemma_overrides = IRREGULAR_PLURALS
     normalized = normalize_turns(transcripts, salt_partitions=salt_partitions)
     sentences = sentencize(normalized)
+    # Merged path: the sentence subtree feeds BOTH the gazetteer tagging
+    # branch and the model-scoring branch, and Spark only reuses subplans at
+    # exchange boundaries — the narrow sentencize work above the normalize
+    # exchange would execute once per branch (measured 1.4 s of the 6.6 s
+    # 200k-turn kg_full, round 7). Persist it for the duration of THIS
+    # build's span-snapshot materialization only: the staging write is the
+    # one action inside this function, after which no span consumer reads
+    # sentences again, so the cache is dropped before returning — each
+    # bench/pipeline invocation still computes sentences from its inputs
+    # exactly once (no cross-run reuse; the unpersist is unconditional).
+    _sent_cache = None
+    if (use_model or model_scorer is not None) and staging_dir is not None:
+        _sent_cache = sentences.persist()
     dict_prepared = prepare_dictionary(dictionary)
     spans = tag_mentions(sentences, dict_prepared, lemma_overrides=lemma_overrides)
     if use_model or model_scorer is not None:
@@ -157,6 +170,11 @@ def build_kg(
         spans = store.get_or_compute(
             _spans_df.sparkSession, stage, lambda: _spans_df
         )
+        if _sent_cache is not None:
+            # snapshot committed (or resumed) -> nothing downstream reads
+            # the sentence subtree again; free the cache so repeated
+            # builds in one session never serve stale-by-timing data
+            _sent_cache.unpersist()
     elif persist_spans:
         spans = spans.persist()
     resolved = resolve_labels(spans)
