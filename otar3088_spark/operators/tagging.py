@@ -670,6 +670,34 @@ def _tag_with_dim(
     # anchors never reach this join).
     def build_span(c, toks, starts):
         n, p0 = c["n"], c["pos0"]
+
+        # n == 1 fast path (round 7): single-token candidates — the bulk of
+        # reference gazetteers AND half of this battery's dictionary — are
+        # fully proven by the anchor join (empty validation tail, see _atail
+        # above), and their window/surface algebra collapses: win_prefix is
+        # 0, first and last token coincide, and
+        # substring(tok, lead+1, len(core)) IS token_core_expr(tok). The
+        # generic branch below evaluated two slice allocations, an empty
+        # zip_with/forall chain, concat_ws and duplicate lead/core trims per
+        # candidate — all interpreted HOF work — for a tautology. Field
+        # values are identical by the identities above (pinned by the
+        # tagging oracles + fuzz suite).
+        tok1 = F.element_at(toks, p0 + 1)
+        core1 = token_core_expr(tok1)
+        start1_base = F.coalesce(F.try_element_at(starts, p0 + 1), F.lit(0))
+        start1 = (start1_base + token_lead_expr(tok1)).cast("int")
+        single = F.when(
+            F.lit(1) <= (F.size(toks) - p0),
+            F.struct(
+                start1.alias("start"),
+                (start1 + F.length(core1)).cast("int").alias("end"),
+                c["term"].alias("term"),
+                c["label"].alias("label"),
+                c["ent_id"].alias("ent_id"),
+                core1.alias("surface"),
+            ),
+        )
+
         window = F.slice(toks, p0 + 1, n)
         in_bounds = n <= (F.size(toks) - p0)
         # whole-window lemma equality via preimage membership: each window
@@ -703,19 +731,22 @@ def _tag_with_dim(
             prefix_len + win_prefix + lead_n + F.length(token_core_expr(last_tok))
         ).cast("int")
         joined_window = F.concat_ws(" ", window)
-        # when(match, ...) evaluates the struct branch only on real matches
-        return F.when(
-            match,
-            F.struct(
-                start.alias("start"),
-                end.alias("end"),
-                c["term"].alias("term"),
-                c["label"].alias("label"),
-                c["ent_id"].alias("ent_id"),
-                joined_window.substr(lead1.cast("int") + 1, end - start).alias(
-                    "surface"
+        # when(...) evaluates only the taken branch per candidate: n == 1
+        # takes the fast path above, n >= 2 the generic window validation
+        return F.when(n == 1, single).otherwise(
+            F.when(
+                match,
+                F.struct(
+                    start.alias("start"),
+                    end.alias("end"),
+                    c["term"].alias("term"),
+                    c["label"].alias("label"),
+                    c["ent_id"].alias("ent_id"),
+                    joined_window.substr(lead1.cast("int") + 1, end - start).alias(
+                        "surface"
+                    ),
                 ),
-            ),
+            )
         )
 
     def valid_arr(toks, starts):
