@@ -12,6 +12,7 @@ docstring — this file is the line-by-line coverage evidence.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -26,7 +27,52 @@ KG_FIXTURE_DIR = Path(__file__).resolve().parents[1] / "fixtures" / "kg"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Battery table loader with a scan-width guard (round 7).
+
+    The driver's tables are SINGLE-ROW-GROUP parquet files (verified: every
+    sf0.01/sf0.1 table, including 600k-row lineitem), and Spark assigns all
+    row groups of a byte-range split to the one task holding the group's
+    midpoint — so every scan stage here runs 1-2 tasks no matter the core
+    count, and all narrow work above it (higher-order array kernels,
+    shingling, partial aggregation) executes at parallelism 1-2 of 32
+    (measured: term_tagging 3.7 -> 1.9 s, shingle arrays 1.9 -> 0.4 s at
+    sf1.0 once widened). A round-robin repartition to session parallelism
+    unlocks the width for one bounded exchange of the table bytes.
+
+    Applied ONLY to the corpus tables (documents, embeddings): their
+    consumers run interpreted higher-order array kernels and Arrow batches
+    whose per-row cost dwarfs one bounded exchange (the measured wins
+    above). The relational tables' consumers are scan + join/agg, where the
+    round-robin exchange (which local-sorts full rows for retry
+    determinism, SPARK-23207) costs MORE than it saves — measured at
+    sf1.0: semi_anti 0.8 -> 7.0 s, broadcast_lookup 0.7 -> 6.0 s when
+    lineitem was widened — so they pass through untouched.
+
+    Scale-adaptive by input size, not a constant: widen only when the whole
+    table is smaller than cores x maxPartitionBytes-ish (such inputs cannot
+    reach full scan width naturally) and big enough (> ~100 KB) for the
+    exchange to matter; cluster-scale inputs and tiny dims pass through
+    untouched. Size comes from the filesystem (the driver contract is local
+    parquet paths); unreadable/remote paths skip the guard."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name not in ("documents", "embeddings"):
+        return df
+    try:
+        if os.path.isfile(path):
+            nbytes = os.path.getsize(path)
+        else:
+            nbytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if 100_000 < nbytes < cores * 64 * 1024 * 1024:
+        df = df.repartition(cores)
+    return df
 
 
 # Small inline dictionary over the documents vocabulary (single- and

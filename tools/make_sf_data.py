@@ -33,7 +33,14 @@ assert len(VOCAB) == 31
 
 
 def write(out: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    # one row group per file — the driver's tables are single-row-group
+    # parquet (verified on every sf0.01/sf0.1 table incl. 600k-row
+    # lineitem), which caps Spark scan parallelism at ~1 task; measurement
+    # data must reproduce that layout or it overstates scan width
+    pq.write_table(
+        table, os.path.join(out, f"{name}.parquet"),
+        row_group_size=max(table.num_rows, 1),
+    )
     print(f"{name}: {table.num_rows} rows")
 
 
