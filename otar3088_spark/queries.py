@@ -26,7 +26,17 @@ KG_FIXTURE_DIR = Path(__file__).resolve().parents[1] / "fixtures" / "kg"
 # helpers
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Tables widened by default: the corpus tables, whose consumers run
+# interpreted higher-order array kernels / Arrow batches where per-row cost
+# dwarfs one bounded exchange. Other tables opt in per query via
+# ``widen_key`` where the downstream shape was measured to benefit (heavy
+# narrow work before the first exchange, or a reusable partitioning).
+_WIDEN_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, widen_key: str | None = None
+) -> DataFrame:
     """Battery table loader with a scan-width guard (round 7).
 
     The driver's tables are SINGLE-ROW-GROUP parquet files (verified: every
@@ -36,17 +46,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     count, and all narrow work above it (higher-order array kernels,
     shingling, partial aggregation) executes at parallelism 1-2 of 32
     (measured: term_tagging 3.7 -> 1.9 s, shingle arrays 1.9 -> 0.4 s at
-    sf1.0 once widened). A round-robin repartition to session parallelism
-    unlocks the width for one bounded exchange of the table bytes.
+    sf1.0 once widened). A hash repartition on a unique key to session
+    parallelism unlocks the width for one bounded exchange of the table
+    bytes.
 
-    Applied ONLY to the corpus tables (documents, embeddings): their
-    consumers run interpreted higher-order array kernels and Arrow batches
-    whose per-row cost dwarfs one bounded exchange (the measured wins
-    above). The relational tables' consumers are scan + join/agg, where the
-    round-robin exchange (which local-sorts full rows for retry
-    determinism, SPARK-23207) costs MORE than it saves — measured at
-    sf1.0: semi_anti 0.8 -> 7.0 s, broadcast_lookup 0.7 -> 6.0 s when
-    lineitem was widened — so they pass through untouched.
+    Default-on ONLY for the corpus tables (_WIDEN_KEYS); relational tables
+    opt in per query via ``widen_key`` where measured to pay (json_props'
+    parse, a window whose partitioning the repartition pre-establishes).
+    Blanket relational widening was measured and REJECTED: scan + join/agg
+    consumers lose more to the exchange than they save (semi_anti
+    0.8 -> 7.0 s, broadcast_lookup 0.7 -> 6.0 s at sf1.0 when lineitem was
+    widened round-robin — the retry-determinism local sort, SPARK-23207,
+    runs inside the serial scan task).
 
     Scale-adaptive by input size, not a constant: widen only when the whole
     table is smaller than cores x maxPartitionBytes-ish (such inputs cannot
@@ -56,7 +67,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet paths); unreadable/remote paths skip the guard."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if name not in ("documents", "embeddings"):
+    key = widen_key or _WIDEN_KEYS.get(name)
+    if key is None:
         return df
     try:
         if os.path.isfile(path):
@@ -71,7 +83,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df
     cores = spark.sparkContext.defaultParallelism
     if 100_000 < nbytes < cores * 64 * 1024 * 1024:
-        df = df.repartition(cores)
+        # hash repartition on a unique key, NOT round-robin: round-robin
+        # local-sorts full rows for retry determinism (SPARK-23207) inside
+        # the serial scan task, which is exactly the stage being relieved
+        df = df.repartition(cores, F.col(key))
     return df
 
 
@@ -267,7 +282,10 @@ def q_distinct_set_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per customer (W1 top-/bottom-K pattern,
     chembl_sql_utils.py:66-85)."""
-    o = _t(spark, sf_dir, "orders")
+    # widen on the WINDOW key: the repartition pre-establishes the window's
+    # clustering, so the decode leaves the serial scan task early and the
+    # window adds no second exchange (measured 2.1 -> ~1.0 s at sf1.0)
+    o = _t(spark, sf_dir, "orders", widen_key="o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
         o.withColumn("rnk", F.row_number().over(w))
@@ -311,7 +329,9 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/F7 JSON field extraction (from_json vs literal_eval revival,
     utils/common.py:246-263)."""
-    e = _t(spark, sf_dir, "events")
+    # widen: the per-row JSON parse is the query's entire cost and runs
+    # before any exchange (measured 2.8 -> 0.8 s at sf1.0)
+    e = _t(spark, sf_dir, "events", widen_key="event_id")
     return (
         e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy("event_type")
