@@ -28,6 +28,19 @@ ENGINE_SQL_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's coalescing floor (default 1 MB) is byte-based and blind to
+    # expression weight: a shuffle carrying a few MB of compact candidate
+    # structs that feeds an interpreted higher-order-function stage gets
+    # coalesced to cores x (bytes/1MB) partitions — measured round 7:
+    # the tagging validation stage ran 4-5 of 32 tasks wide at bench sf,
+    # term_tagging 2.2 -> 1.2 s and iob_roundtrip 5.4 -> 2.3 s once the
+    # floor stopped binding. SCALE-ADAPTIVE by construction: with
+    # parallelismFirst (default true) the coalescing target is
+    # max(totalBytes / defaultParallelism, minPartitionSize), so lowering
+    # the floor only affects shuffles smaller than ~parallelism x 1 MB —
+    # cluster-scale shuffles keep their bytes-proportional sizing
+    # unchanged.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # --- Arrow transport for the sanctioned pandas-UDF surface ---
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
