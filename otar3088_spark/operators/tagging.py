@@ -403,9 +403,12 @@ def tag_mentions_grouped(
     sentence (spans_to_iob and the training-data path): feeding them the
     grouped form removes an explode, a collect_list re-aggregation exchange
     and the sentence re-join from their plans (measured 3.0 s of the 8.4 s
-    sf1.0 spans_to_iob chain, round 7). Sentences with no validated span do
-    NOT appear (the exploded form has no rows for them either); callers that
-    need all-O sentences must keep ``tag_mentions`` + an outer join.
+    sf1.0 spans_to_iob chain, round 7). Coverage caveat: sentences with no
+    ANCHOR candidate do not appear at all, while anchored sentences whose
+    candidates all fail validation appear with ``spans = []`` (the exploded
+    form emits no rows for either) — so absence does NOT mean "unmatched",
+    and callers that need every sentence must keep ``tag_mentions`` + an
+    outer join.
 
     Always runs the per-sentence array formulation (the grouped shape IS
     that path's intermediate), so it shares ``tag_mentions``'s
