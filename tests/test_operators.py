@@ -919,3 +919,75 @@ def test_grouped_iob_fusion_matches_unfused(spark):
     kept_u = sorted((key(r), r["tokens"], r["tags"]) for r in filter_all_o(unfused).collect())
     kept_f = sorted((key(r), r["tokens"], r["tags"]) for r in filter_all_o(fused).collect())
     assert kept_u == kept_f
+
+
+def test_shingles_expr_matches_legacy_zipwith_form(spark):
+    """Pin the round-7 shingle rewrite (let-bound transform over shingle
+    starts) element-for-element against the legacy slice/zip_with(concat_ws)
+    formulation, including the NULL-text, short-text and duplicate edges."""
+    from pyspark.sql import functions as F
+
+    from otar3088_spark.operators.dedup import normalized_text_expr, shingles_expr
+
+    def legacy(text_col, k):
+        toks = F.split(normalized_text_expr(text_col), " ")
+        if k == 1:
+            return F.array_distinct(toks)
+        cols = [
+            F.slice(toks, i + 1, F.greatest(F.size(toks) - k + 1, F.lit(0)))
+            for i in range(k)
+        ]
+        sh = cols[0]
+        for c in cols[1:]:
+            sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
+        return F.array_distinct(sh)
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, " "), (3, "one"), (4, "one two"),
+         (5, "a  b   c"), (6, "x x x x"), (7, "  lead trail  "),
+         (8, "ONE Two THREE four five")],
+        ["doc_id", "text"],
+    )
+    for k in (1, 2, 3, 4):
+        bad = df.select(
+            legacy(F.col("text"), k).alias("o"),
+            shingles_expr(F.col("text"), k).alias("n"),
+        ).filter(
+            ~((F.col("o").isNull() & F.col("n").isNull()) | (F.col("o") == F.col("n")))
+        ).count()
+        assert bad == 0, f"k={k}"
+
+
+def test_scan_width_guard_gates_on_table_and_size(spark, tmp_path):
+    """The battery loader widens only the corpus tables (or explicit
+    widen_key opt-ins) and only between the size bounds; the repartition is
+    keyed (REPARTITION_BY_NUM hash), never round-robin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from otar3088_spark.queries import _t
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    big = pa.table({"doc_id": pa.array(range(60_000), pa.int64()),
+                    "text": ["word " * 20] * 60_000})
+    pq.write_table(big, sf / "documents.parquet", row_group_size=60_000)
+    tiny = pa.table({"r_regionkey": pa.array(range(5), pa.int64()),
+                     "r_name": ["a", "b", "c", "d", "e"]})
+    pq.write_table(tiny, sf / "region.parquet")
+    pq.write_table(big.rename_columns(["event_id", "props"]), sf / "events.parquet",
+                   row_group_size=60_000)
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    p_doc = plan(_t(spark, str(sf), "documents"))
+    assert "REPARTITION_BY_NUM" in p_doc and "hashpartitioning(doc_id" in p_doc
+    assert "ROUND_ROBIN" not in p_doc.upper().replace("ROUNDROBIN", "ROUND_ROBIN")
+    # tiny dim: below the floor -> untouched
+    assert "REPARTITION_BY_NUM" not in plan(_t(spark, str(sf), "region"))
+    # non-corpus table: untouched by default, widened on explicit opt-in
+    assert "REPARTITION_BY_NUM" not in plan(_t(spark, str(sf), "events"))
+    p_ev = plan(_t(spark, str(sf), "events", widen_key="event_id"))
+    assert "REPARTITION_BY_NUM" in p_ev and "hashpartitioning(event_id" in p_ev
